@@ -1,0 +1,150 @@
+"""Data pipeline tests on a synthetic on-disk dataset."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from yolov5m_tpu.data.augment import TrainAugment
+from yolov5m_tpu.data.dataset import BatchLoader, DetectionDataset, load_label_file
+from yolov5m_tpu.data.native import letterbox, native_available, resize_bilinear
+
+
+@pytest.fixture
+def tiny_dataset(tmp_path, rng):
+    """12 images with random sizes + coco-format txt labels."""
+    for split in ("train", "val"):
+        os.makedirs(tmp_path / "images" / split)
+        os.makedirs(tmp_path / "labels" / split)
+        n = 8 if split == "train" else 4
+        for i in range(n):
+            w = int(rng.integers(80, 320))
+            h = int(rng.integers(80, 320))
+            img = rng.integers(0, 255, (h, w, 3), np.uint8)
+            Image.fromarray(img).save(tmp_path / "images" / split / f"img{i}.jpg")
+            lines = []
+            for _ in range(int(rng.integers(0, 5))):
+                bw = rng.uniform(5, w / 2)
+                bh = rng.uniform(5, h / 2)
+                x1 = rng.uniform(0, w - bw)
+                y1 = rng.uniform(0, h - bh)
+                cls = int(rng.integers(1, 81))  # coco classes are 1-indexed
+                lines.append(f"{x1:.2f} {y1:.2f} {bw:.2f} {bh:.2f} {cls}")
+            (tmp_path / "labels" / split / f"img{i}.txt").write_text("\n".join(lines))
+    return str(tmp_path)
+
+
+def test_label_loading_coco_format(tmp_path):
+    p = tmp_path / "l.txt"
+    p.write_text("10 20 100 50 3\n-1 5 10 10 2\n")  # second row dropped (negative)
+    labels = load_label_file(str(p), "coco", w0=640, h0=640)
+    assert labels.shape == (1, 5)
+    assert labels[0, 0] == 2  # 0-indexed class
+    np.testing.assert_allclose(
+        labels[0, 1:], [60 / 640, 45 / 640,
+                        np.floor(100 / 640 * 1000) / 1000,
+                        np.floor(50 / 640 * 1000) / 1000], atol=1e-3)
+
+
+def test_label_loading_empty(tmp_path):
+    p = tmp_path / "e.txt"
+    p.write_text("")
+    assert load_label_file(str(p), "coco", 640, 640).shape == (0, 5)
+
+
+def test_annotation_csv_cached(tiny_dataset):
+    ds1 = DetectionDataset(tiny_dataset, train=True)
+    csv = os.path.join(tiny_dataset, "labels", "annot_train.csv")
+    assert os.path.isfile(csv)
+    ds2 = DetectionDataset(tiny_dataset, train=True)  # loads from cache
+    assert len(ds1) == len(ds2) == 8
+    assert sorted(a[0] for a in ds1.annotations) == sorted(a[0] for a in ds2.annotations)
+
+
+def test_rect_buckets_all_shaped(tiny_dataset):
+    """Every bucket gets a stride-32 shape — the reference's iloc[i:bs] bug
+    (dataset.py:188-189) left all but the first bucket unshaped."""
+    ds = DetectionDataset(tiny_dataset, train=True, rect_training=True, bs=4)
+    for name, h, w in ds.annotations:
+        assert h % 32 == 0 and w % 32 == 0, (name, h, w)
+        assert h >= 32 and w >= 32
+
+
+def test_batch_loader_fixed_shapes(tiny_dataset):
+    ds = DetectionDataset(tiny_dataset, train=True, max_boxes=16)
+    loader = BatchLoader(ds, batch_size=4, shuffle=True)
+    batches = list(loader)
+    assert len(batches) == 2
+    for b in batches:
+        assert b["image"].shape == (4, 640, 640, 3)
+        assert b["labels"].shape == (4, 16, 5)
+        assert b["mask"].shape == (4, 16)
+        assert b["image"].dtype == np.float32
+        assert 0.0 <= b["image"].min() and b["image"].max() <= 1.0
+        # masked labels normalized
+        assert np.all(b["labels"][b["mask"]][:, 1:] <= 1.0)
+        assert np.all(b["labels"][~b["mask"]] == 0)
+
+
+def test_batch_loader_rect_batches_share_shape(tiny_dataset):
+    ds = DetectionDataset(tiny_dataset, train=False, rect_training=True, bs=2)
+    loader = BatchLoader(ds, batch_size=2)
+    for b in loader:
+        assert b["image"].shape[1] % 32 == 0 and b["image"].shape[2] % 32 == 0
+
+
+def test_native_resize_matches_cv2(rng):
+    cv2 = pytest.importorskip("cv2")
+    img = rng.integers(0, 255, (97, 123, 3), np.uint8)
+    got = resize_bilinear(img, (64, 48))
+    exp = cv2.resize(img, (64, 48), interpolation=cv2.INTER_LINEAR)
+    assert got.shape == exp.shape
+    # implementations may differ by a rounding ULP
+    assert np.abs(got.astype(int) - exp.astype(int)).max() <= 1
+
+
+def test_letterbox_geometry(rng):
+    img = rng.integers(0, 255, (100, 200, 3), np.uint8)
+    out, ratio, (dw, dh) = letterbox(img, (128, 128))
+    assert out.shape == (128, 128, 3)
+    assert ratio[0] == pytest.approx(128 / 200)
+    # top/bottom bands are fill color
+    assert np.all(out[0] == 114) and np.all(out[-1] == 114)
+
+
+def test_augment_hflip_box_math():
+    aug = TrainAugment(seed=1, color_jitter_p=0, hflip_p=1.0, vflip_p=0,
+                       rotate_p=0, blur_p=0, clahe_p=0, posterize_p=0,
+                       channel_shuffle_p=0, transpose_batch_parity=False)
+    img = np.zeros((64, 64, 3), np.float32)
+    labels = np.array([[0, 0.25, 0.5, 0.1, 0.2]], np.float32)
+    _, out = aug(img, labels, batch_idx=1)
+    np.testing.assert_allclose(out[0], [0, 0.75, 0.5, 0.1, 0.2], atol=1e-6)
+
+
+def test_augment_transpose_batch_parity():
+    aug = TrainAugment(seed=1, color_jitter_p=0, hflip_p=0, vflip_p=0,
+                       rotate_p=0, blur_p=0, clahe_p=0, posterize_p=0,
+                       channel_shuffle_p=0, transpose_batch_parity=True)
+    img = np.arange(64 * 64 * 3, dtype=np.float32).reshape(64, 64, 3)
+    labels = np.array([[2, 0.25, 0.75, 0.1, 0.2]], np.float32)
+    out_img, out = aug(img.copy(), labels.copy(), batch_idx=0)  # even → transpose
+    np.testing.assert_allclose(out[0], [2, 0.75, 0.25, 0.2, 0.1], atol=1e-6)
+    np.testing.assert_allclose(out_img, img.transpose(1, 0, 2))
+    out_img2, out2 = aug(img.copy(), labels.copy(), batch_idx=1)  # odd → no-op
+    np.testing.assert_allclose(out2, labels, atol=1e-6)
+    np.testing.assert_allclose(out_img2, img)
+
+
+def test_augment_preserves_empty_labels():
+    aug = TrainAugment(seed=0)
+    img = np.zeros((64, 64, 3), np.float32)
+    out_img, out = aug(img, np.zeros((0, 5), np.float32), batch_idx=0)
+    assert out.shape == (0, 5)
+    assert out_img.shape == img.shape
+
+
+def test_native_library_builds():
+    # informational: native path should build in this image (g++ present)
+    assert native_available(), "native preprocess library failed to build"

@@ -1,0 +1,140 @@
+"""Loss parity tests: vectorized on-device implementations vs sequential
+numpy goldens (the `my_loss_vs_ultra_loss.py` pattern from the reference's
+verification culture, SURVEY.md §4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from yolov5m_tpu.config import ANCHORS
+from yolov5m_tpu.train.loss import LossConfig, YoloLoss
+from yolov5m_tpu.train.targets import build_grid_targets, build_flat_targets
+from tests.loss_golden import (
+    golden_grid_targets, golden_custom_loss, golden_ultra_loss,
+)
+
+ANCHORS_PX = np.asarray(ANCHORS, np.float32)
+NC = 7
+
+
+def _random_labels(rng, bs, counts, nb=20):
+    """Padded labels + mask + per-image list form."""
+    labels = np.zeros((bs, nb, 5), np.float32)
+    mask = np.zeros((bs, nb), bool)
+    per_image = []
+    for b in range(bs):
+        n = counts[b]
+        cls = rng.integers(0, NC, n)
+        xy = rng.uniform(0.1, 0.9, (n, 2))
+        wh = rng.uniform(0.03, 0.4, (n, 2))
+        arr = np.concatenate([cls[:, None], xy, wh], axis=1).astype(np.float32)
+        labels[b, :n] = arr
+        mask[b, :n] = True
+        per_image.append(arr)
+    return labels, mask, per_image
+
+
+def _random_preds(rng, bs, hw=64, nc=NC):
+    shapes = [(bs, 3, hw // 8, hw // 8, 5 + nc),
+              (bs, 3, hw // 16, hw // 16, 5 + nc),
+              (bs, 3, hw // 32, hw // 32, 5 + nc)]
+    return [rng.normal(0, 1, s).astype(np.float32) for s in shapes]
+
+
+def test_grid_targets_match_sequential_golden(rng):
+    bs, hw = 3, 64
+    grid_sizes = [(hw // s, hw // s) for s in (8, 16, 32)]
+    labels, mask, per_image = _random_labels(rng, bs, [5, 0, 12])
+    got = build_grid_targets(jnp.asarray(labels), jnp.asarray(mask),
+                             jnp.asarray(ANCHORS_PX), grid_sizes)
+    exp = golden_grid_targets(per_image, ANCHORS_PX, grid_sizes)
+    for s in range(3):
+        g, e = np.asarray(got[s]), exp[s]
+        assert g.shape == e.shape
+        # objectness channel drives everything downstream — compare exactly
+        np.testing.assert_array_equal(g[..., 4], e[..., 4], err_msg=f"scale {s}")
+        pos = e[..., 4] == 1
+        np.testing.assert_allclose(g[pos], e[pos], rtol=1e-5, atol=1e-6,
+                                   err_msg=f"scale {s}")
+
+
+def test_grid_targets_empty_batch():
+    grid_sizes = [(8, 8), (4, 4), (2, 2)]
+    labels = jnp.zeros((2, 10, 5))
+    mask = jnp.zeros((2, 10), bool)
+    got = build_grid_targets(labels, mask, jnp.asarray(ANCHORS_PX), grid_sizes)
+    for t in got:
+        assert float(jnp.abs(np.asarray(t)).sum()) == 0.0
+
+
+def test_custom_loss_matches_golden(rng):
+    bs, hw = 2, 64
+    labels, mask, per_image = _random_labels(rng, bs, [6, 3])
+    preds = _random_preds(rng, bs, hw)
+
+    lc = LossConfig(nc=NC)
+    loss_fn = YoloLoss(lc, ANCHORS_PX, kind="custom")
+    total, parts = loss_fn([jnp.asarray(p) for p in preds],
+                           jnp.asarray(labels), jnp.asarray(mask))
+    exp_total, exp_parts = golden_custom_loss(preds, per_image, ANCHORS_PX, NC)
+    np.testing.assert_allclose(float(total), exp_total, rtol=1e-4)
+    for k in ("box", "obj", "cls"):
+        np.testing.assert_allclose(float(parts[k]), exp_parts[k], rtol=1e-4,
+                                   err_msg=k)
+
+
+def test_ultralytics_loss_matches_golden(rng):
+    bs, hw = 2, 64
+    labels, mask, per_image = _random_labels(rng, bs, [6, 3])
+    preds = _random_preds(rng, bs, hw)
+
+    lc = LossConfig(nc=NC)
+    loss_fn = YoloLoss(lc, ANCHORS_PX, kind="ultralytics")
+    total, parts = loss_fn([jnp.asarray(p) for p in preds],
+                           jnp.asarray(labels), jnp.asarray(mask))
+    exp_total, exp_parts = golden_ultra_loss(preds, per_image, ANCHORS_PX, NC)
+    np.testing.assert_allclose(float(total), exp_total, rtol=1e-4)
+    for k in ("box", "obj", "cls"):
+        np.testing.assert_allclose(float(parts[k]), exp_parts[k], rtol=1e-4,
+                                   err_msg=k)
+
+
+def test_loss_is_differentiable_and_finite(rng):
+    bs, hw = 2, 64
+    labels, mask, _ = _random_labels(rng, bs, [4, 1])
+    preds = _random_preds(rng, bs, hw)
+    for kind in ("custom", "ultralytics"):
+        loss_fn = YoloLoss(LossConfig(nc=NC), ANCHORS_PX, kind=kind)
+
+        def scalar(ps):
+            return loss_fn(ps, jnp.asarray(labels), jnp.asarray(mask))[0]
+
+        val, grads = jax.value_and_grad(scalar)([jnp.asarray(p) for p in preds])
+        assert np.isfinite(float(val))
+        for g in grads:
+            assert np.all(np.isfinite(np.asarray(g))), kind
+            assert float(jnp.abs(g).sum()) > 0, kind
+
+
+def test_loss_zero_labels_no_nan(rng):
+    bs, hw = 2, 64
+    preds = _random_preds(rng, bs, hw)
+    labels = jnp.zeros((bs, 10, 5))
+    mask = jnp.zeros((bs, 10), bool)
+    for kind in ("custom", "ultralytics"):
+        loss_fn = YoloLoss(LossConfig(nc=NC), ANCHORS_PX, kind=kind)
+        total, parts = loss_fn([jnp.asarray(p) for p in preds], labels, mask)
+        assert np.isfinite(float(total))
+        assert float(parts["box"]) == 0.0 and float(parts["cls"]) == 0.0
+        assert float(parts["obj"]) > 0  # background BCE still applies
+
+
+def test_loss_jits(rng):
+    bs, hw = 2, 64
+    labels, mask, _ = _random_labels(rng, bs, [4, 1])
+    preds = [jnp.asarray(p) for p in _random_preds(rng, bs, hw)]
+    loss_fn = YoloLoss(LossConfig(nc=NC), ANCHORS_PX, kind="custom")
+    jitted = jax.jit(lambda ps, l, m: loss_fn(ps, l, m)[0])
+    a = float(jitted(preds, jnp.asarray(labels), jnp.asarray(mask)))
+    b = float(loss_fn(preds, jnp.asarray(labels), jnp.asarray(mask))[0])
+    np.testing.assert_allclose(a, b, rtol=1e-5)

@@ -1,0 +1,272 @@
+"""COCO/FLIR txt-label data pipeline with fixed-shape padded batches.
+
+Capability parity with the reference datasets (reference dataset.py:19-466):
+  * directory layout {root}/images/{train,val} + {root}/labels/{split}/*.txt;
+  * annotation size CSV built once and cached (dataset.py:57-72);
+  * coco→yolo bbox conversion + class 0-indexing (dataset.py:98-102);
+  * negative-row filtering and wh truncation floor(v*1000)/1000 (dataset.py:92-94);
+  * rectangular training: ratio-sorted shape buckets cached to CSV
+    (dataset.py:159-197) — with the reference's `iloc[i:bs]` slicing bug
+    fixed (only its first bucket ever got a shape; see SURVEY.md §2 quirks);
+  * optional albumentations-style augmentation (data/augment.py).
+
+TPU-native redesign: batches are fixed-shape dicts
+  {"image": (bs, H, W, 3) float32 /255, "labels": (bs, nb, 5), "mask": (bs, nb)}
+— padded label tensors + validity mask instead of ragged per-image tuples, so
+the whole train step including target assignment jits. Rect buckets produce a
+small static set of (H, W) shapes, one jit cache entry each, instead of the
+reference's per-batch random sizes.
+"""
+
+from __future__ import annotations
+
+import os
+import warnings
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+from PIL import Image
+
+from yolov5m_tpu.data.native import resize_bilinear
+
+
+def _coco_to_yolo_np(b: np.ndarray, w0: float, h0: float) -> np.ndarray:
+    """(x1,y1,w,h) absolute → (cx,cy,w,h) normalized (reference bboxes_utils.py:95-98)."""
+    x1, y1, w, h = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+    return np.stack([(2 * x1 + w) / (2 * w0), (2 * y1 + h) / (2 * h0),
+                     w / w0, h / h0], axis=1)
+
+
+def load_label_file(path: str, box_format: str, w0: float, h0: float) -> np.ndarray:
+    """One txt label file → (n, 5) float32 rows (class, x, y, w, h) normalized.
+
+    Mirrors reference dataset.py:88-102: negative-value rows dropped, wh
+    truncated to 3 decimals, coco classes 0-indexed.
+    """
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        labels = np.loadtxt(path, delimiter=" ", ndmin=2, dtype=np.float64)
+    if labels.size == 0:
+        return np.zeros((0, 5), np.float32)
+    labels = labels[np.all(labels >= 0, axis=1)]
+    if labels.shape[0] == 0:
+        return np.zeros((0, 5), np.float32)
+    labels[:, 3:5] = np.floor(labels[:, 3:5] * 1000) / 1000
+    if box_format == "coco":
+        labels[:, -1] -= 1                      # classes 1..80 → 0..79
+        labels = np.roll(labels, axis=1, shift=1)  # (cls, x1, y1, w, h)
+        labels[:, 1:] = _coco_to_yolo_np(labels[:, 1:], w0, h0)
+    return labels.astype(np.float32)
+
+
+def _read_image_size(path: str) -> Tuple[int, int]:
+    """(h, w) without decoding pixel data (replaces the `imagesize` dep at
+    reference dataset.py:66)."""
+    with Image.open(path) as im:
+        w, h = im.size
+    return h, w
+
+
+class DetectionDataset:
+    """Index of images + labels with cached size annotations and rect buckets."""
+
+    def __init__(
+        self,
+        root_directory: str,
+        train: bool = True,
+        rect_training: bool = False,
+        default_size: int = 640,
+        bs: int = 64,
+        bboxes_format: str = "coco",
+        max_boxes: int = 120,
+    ):
+        assert bboxes_format in ("coco", "yolo")
+        self.root = root_directory
+        self.train = train
+        self.split = "train" if train else "val"
+        self.rect = rect_training
+        self.default_size = default_size
+        self.bs = bs
+        self.batch_range = 64 if bs < 64 else 128  # reference dataset.py:34
+        self.box_format = bboxes_format
+        self.max_boxes = max_boxes
+
+        self.images_dir = os.path.join(self.root, "images", self.split)
+        self.labels_dir = os.path.join(self.root, "labels", self.split)
+        annot_csv = os.path.join(self.root, "labels", f"annot_{self.split}.csv")
+
+        self.annotations = self._load_or_build_annotations(annot_csv)
+        if rect_training:
+            self.annotations = self._adaptive_shape(self.annotations)
+
+    # -------------------------------------------------- annotations
+
+    def _load_or_build_annotations(self, csv_path: str) -> List[Tuple[str, int, int]]:
+        """[(name, h, w)] — cached like reference dataset.py:57-72 (same CSV
+        layout: index,name,h,w) so existing caches interoperate."""
+        if os.path.isfile(csv_path):
+            rows = []
+            with open(csv_path) as f:
+                for line in f.read().strip().splitlines()[0:]:
+                    parts = line.split(",")
+                    if len(parts) >= 4 and parts[1].strip():
+                        try:
+                            rows.append((parts[1], int(float(parts[2])), int(float(parts[3]))))
+                        except ValueError:
+                            continue  # header line
+            if rows:
+                return sorted(rows)
+        rows = []
+        for label_file in sorted(os.listdir(self.labels_dir)):
+            if not label_file.endswith(".txt"):
+                continue
+            name = label_file[:-4] + ".jpg"
+            img_path = os.path.join(self.images_dir, name)
+            if not os.path.isfile(img_path):
+                for ext in (".png", ".jpeg"):
+                    alt = os.path.join(self.images_dir, label_file[:-4] + ext)
+                    if os.path.isfile(alt):
+                        name, img_path = label_file[:-4] + ext, alt
+                        break
+                else:
+                    continue
+            h, w = _read_image_size(img_path)
+            rows.append((name, h, w))
+        os.makedirs(os.path.dirname(csv_path), exist_ok=True)
+        with open(csv_path, "w") as f:
+            for i, (n, h, w) in enumerate(rows):
+                f.write(f"{i},{n},{h},{w}\n")
+        return sorted(rows)
+
+    def _adaptive_shape(self, annotations, seed: int = 0):
+        """Rect-training shape planner (reference dataset.py:159-197): sort by
+        w/h ratio, bucket by batch_range, assign each bucket one stride-32
+        shape (±10% jitter for train), shuffle within bucket. The reference's
+        `iloc[i:bs]` bug (only bucket 0 shaped) is fixed; bucket shapes cache
+        to CSV like the reference."""
+        cache = os.path.join(
+            self.root, "labels",
+            f"adaptive_ann_{self.split}_{len(annotations)}_br_{self.batch_range}.csv")
+        if os.path.isfile(cache):
+            rows = []
+            with open(cache) as f:
+                for line in f.read().strip().splitlines():
+                    parts = line.split(",")
+                    if len(parts) >= 4 and parts[1].strip():
+                        try:
+                            rows.append((parts[1], int(float(parts[2])), int(float(parts[3]))))
+                        except ValueError:
+                            continue
+            if rows:
+                return rows
+
+        rng = np.random.default_rng(seed)
+        ann = sorted(annotations, key=lambda r: r[2] / r[1])  # w/h ratio
+        out = []
+        for i in range(0, len(ann), self.batch_range):
+            bucket = ann[i:i + self.batch_range]
+            name0, h0, w0 = bucket[0]
+            size = [float(w0), float(h0)]
+            max_idx = 0 if size[0] >= size[1] else 1
+            min_idx = 1 - max_idx
+            size[min_idx] += 32
+            if self.train:
+                sz = int(rng.integers(int(self.default_size * 0.9),
+                                      int(self.default_size * 1.1))) // 32 * 32
+            else:
+                sz = self.default_size
+            size[min_idx] = (sz / size[max_idx] * size[min_idx]) // 32 * 32
+            size[max_idx] = sz
+            w_t, h_t = int(size[0]), int(size[1])
+            shaped = [(n, max(h_t, 32), max(w_t, 32)) for n, _, _ in bucket]
+            rng.shuffle(shaped)
+            out.extend(shaped)
+
+        with open(cache, "w") as f:
+            for i, (n, h, w) in enumerate(out):
+                f.write(f"{i},{n},{h},{w}\n")
+        return out
+
+    # -------------------------------------------------- items
+
+    def __len__(self) -> int:
+        return len(self.annotations)
+
+    def load_item(self, idx: int, target_hw: Optional[Tuple[int, int]] = None):
+        """Returns (image float32 HWC in [0,255], labels (n,5))."""
+        name, h_t, w_t = self.annotations[idx]
+        if target_hw is not None:
+            h_t, w_t = target_hw
+        elif not self.rect:
+            h_t = w_t = self.default_size
+        img = np.asarray(Image.open(os.path.join(self.images_dir, name)).convert("RGB"))
+        label_path = os.path.join(self.labels_dir, os.path.splitext(name)[0] + ".txt")
+        labels = load_label_file(label_path, self.box_format,
+                                 w0=img.shape[1], h0=img.shape[0])
+        img = resize_bilinear(img, (int(w_t), int(h_t)))
+        return img.astype(np.float32), labels
+
+    def item_shape(self, idx: int) -> Tuple[int, int]:
+        name, h, w = self.annotations[idx]
+        if not self.rect:
+            return (self.default_size, self.default_size)
+        return (h, w)
+
+
+class BatchLoader:
+    """Fixed-shape batch iterator over a DetectionDataset.
+
+    Groups indices so every batch shares one (H, W) — for rect training the
+    bucket shapes are already contiguous after _adaptive_shape (reference
+    keeps order for the same reason, training_utils.py:57). Yields dicts of
+    stacked numpy arrays ready for device put.
+    """
+
+    def __init__(self, dataset: DetectionDataset, batch_size: int,
+                 shuffle: bool = False, augment=None, seed: int = 0,
+                 drop_last: bool = False):
+        self.ds = dataset
+        self.bs = batch_size
+        self.shuffle = shuffle and not dataset.rect
+        self.augment = augment
+        self.rng = np.random.default_rng(seed)
+        self.drop_last = drop_last
+
+    def __len__(self) -> int:
+        n = len(self.ds)
+        return n // self.bs if self.drop_last else (n + self.bs - 1) // self.bs
+
+    def __iter__(self) -> Iterator[dict]:
+        order = np.arange(len(self.ds))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        for start in range(0, len(order), self.bs):
+            idxs = order[start:start + self.bs]
+            if len(idxs) < self.bs:
+                if self.drop_last:
+                    return
+                idxs = np.concatenate([idxs, order[: self.bs - len(idxs)]])
+            yield self._make_batch(idxs, start // self.bs)
+
+    def _make_batch(self, idxs: np.ndarray, batch_idx: int) -> dict:
+        hw = self.ds.item_shape(int(idxs[0]))
+        nb = self.ds.max_boxes
+        imgs = np.zeros((len(idxs), hw[0], hw[1], 3), np.float32)
+        labels = np.zeros((len(idxs), nb, 5), np.float32)
+        mask = np.zeros((len(idxs), nb), bool)
+        for k, idx in enumerate(idxs):
+            img, lab = self.ds.load_item(int(idx), target_hw=hw)
+            if self.augment is not None:
+                img, lab = self.augment(img, lab, batch_idx=batch_idx)
+            n = min(len(lab), nb)
+            imgs[k] = img
+            if n:
+                labels[k, :n] = lab[:n]
+                mask[k, :n] = True
+        return {"image": imgs / 255.0, "labels": labels, "mask": mask}

@@ -1,0 +1,40 @@
+"""Loader factory — the reference's get_loaders equivalent
+(reference utils/training_utils.py:31-77)."""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+from yolov5m_tpu.config import Config
+from yolov5m_tpu.data.augment import TrainAugment
+from yolov5m_tpu.data.dataset import BatchLoader, DetectionDataset
+
+
+def get_loaders(
+    db_root_dir: str,
+    batch_size: int,
+    rect_training: bool = False,
+    box_format: str = "coco",
+    augment: bool = True,
+    max_boxes: int = 120,
+    default_size: int = 640,
+    seed: int = 0,
+) -> Tuple[BatchLoader, BatchLoader]:
+    """Build train/val BatchLoaders over the standard directory layout."""
+    train_ds = DetectionDataset(
+        root_directory=db_root_dir, train=True, rect_training=rect_training,
+        default_size=default_size, bs=batch_size, bboxes_format=box_format,
+        max_boxes=max_boxes)
+    val_ds = DetectionDataset(
+        root_directory=db_root_dir, train=False, rect_training=rect_training,
+        default_size=default_size, bs=batch_size, bboxes_format=box_format,
+        max_boxes=max_boxes)
+
+    train_loader = BatchLoader(
+        train_ds, batch_size,
+        shuffle=not rect_training,                    # training_utils.py:57
+        augment=TrainAugment(seed=seed) if augment else None,
+        seed=seed, drop_last=True)
+    val_loader = BatchLoader(val_ds, batch_size, shuffle=False, augment=None,
+                             seed=seed, drop_last=False)
+    return train_loader, val_loader

@@ -1,0 +1,126 @@
+"""YOLOv5m graph: CSP backbone + PANet neck + 3-scale anchor head.
+
+Topology matches reference model.py:178-239 (so converted PyTorch weights are
+numerically equivalent), but the implementation is TPU-native: NHWC tensors,
+one flax module compiled by XLA in a single jit, bf16 compute with fp32
+BatchNorm, static shapes.
+
+Head output layout per scale is (bs, na, ny, nx, 5+nc), identical to the
+reference's view+permute (model.py:170-173), with the same channel grouping
+(anchor-major) so head weights convert 1:1.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from yolov5m_tpu.config import ANCHORS, STRIDES, Config
+from yolov5m_tpu.models.blocks import C3, CBL, SPPF, upsample2x_nearest
+
+
+def normalized_anchors(anchors=ANCHORS, strides=STRIDES) -> np.ndarray:
+    """(nl, na, 2) anchors divided by their scale stride (reference model.py:156)."""
+    a = np.asarray(anchors, np.float32)
+    return a / np.asarray(strides, np.float32)[:, None, None]
+
+
+class Head(nn.Module):
+    """Per-scale 1x1 output convs + anchor-major reshape (reference model.py:143-175)."""
+
+    nc: int
+    na: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
+        outs = []
+        no = 5 + self.nc
+        for i, f in enumerate(feats):
+            y = nn.Conv(no * self.na, (1, 1), dtype=self.dtype, name=f"out_conv{i}")(f)
+            bs, ny, nx, _ = y.shape
+            # NHWC channel order is anchor-major [(5+nc) x na], same memory
+            # grouping as the reference's view(bs, na, 5+nc, ny, nx) on NCHW.
+            y = y.reshape(bs, ny, nx, self.na, no).transpose(0, 3, 1, 2, 4)
+            outs.append(y.astype(jnp.float32))
+        return outs
+
+
+class YOLOv5(nn.Module):
+    """YOLOv5 detector parameterized by width (first_out=48 → YOLOv5m)."""
+
+    first_out: int = 48
+    nc: int = 80
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        fo, dt = self.first_out, self.dtype
+        # Backbone: 10 modules; taps after idx 4 (P3-level) and 6 (P4-level)
+        # — reference model.py:184-195, 215-219.
+        self.backbone = [
+            CBL(fo, 6, 2, 2, dt),
+            CBL(fo * 2, 3, 2, 1, dt),
+            C3(fo * 2, 0.5, 2, True, dt),
+            CBL(fo * 4, 3, 2, 1, dt),
+            C3(fo * 4, 0.5, 4, True, dt),
+            CBL(fo * 8, 3, 2, 1, dt),
+            C3(fo * 8, 0.5, 6, True, dt),
+            CBL(fo * 16, 3, 2, 1, dt),
+            C3(fo * 16, 0.5, 2, True, dt),
+            SPPF(fo * 16, dt),
+        ]
+        # Neck: FPN-up + PAN-down — reference model.py:197-207, 221-237.
+        self.neck = [
+            CBL(fo * 8, 1, 1, 0, dt),
+            C3(fo * 8, 0.25, 2, False, dt),
+            CBL(fo * 4, 1, 1, 0, dt),
+            C3(fo * 4, 0.25, 2, False, dt),
+            CBL(fo * 4, 3, 2, 1, dt),
+            C3(fo * 8, 0.5, 2, False, dt),
+            CBL(fo * 8, 3, 2, 1, dt),
+            C3(fo * 16, 0.5, 2, False, dt),
+        ]
+        self.head = Head(nc=self.nc, dtype=dt)
+
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> List[jnp.ndarray]:
+        """x: (bs, H, W, 3) NHWC, H and W divisible by 32.
+
+        Returns [P3, P4, P5] raw logits, each (bs, 3, H/S, W/S, 5+nc).
+        """
+        assert x.shape[1] % 32 == 0 and x.shape[2] % 32 == 0, \
+            "H and W must be divisible by 32"
+        x = x.astype(self.dtype)
+
+        taps = []
+        for idx, layer in enumerate(self.backbone):
+            x = layer(x, train)
+            if idx in (4, 6):
+                taps.append(x)
+
+        feats = []
+        stash = []
+        for idx, layer in enumerate(self.neck):
+            if idx in (0, 2):
+                x = layer(x, train)
+                stash.append(x)
+                x = upsample2x_nearest(x)
+                x = jnp.concatenate([x, taps.pop()], axis=-1)
+            elif idx in (4, 6):
+                x = layer(x, train)
+                x = jnp.concatenate([x, stash.pop()], axis=-1)
+            else:
+                x = layer(x, train)
+                if idx > 2:
+                    feats.append(x)
+
+        return self.head(feats)
+
+
+def create_model(cfg: Config):
+    """Build model + anchors from a Config. Returns (module, anchors (nl,na,2))."""
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    model = YOLOv5(first_out=cfg.first_out, nc=cfg.nc, dtype=dtype)
+    return model, jnp.asarray(normalized_anchors())

@@ -1,0 +1,178 @@
+"""YOLOv5 detection loss — fully on-device, fixed-shape, jit/grad friendly.
+
+Two interchangeable implementations, mirroring the reference's two losses:
+
+  * kind="custom"      — grid-target loss (reference loss.py:20-246, the
+                         default): Aladdin-style best-anchor-per-scale
+                         assignment, GIoU box loss, IoU-weighted objectness
+                         BCE with per-scale balance, one-hot class BCE.
+  * kind="ultralytics" — candidate-matching loss (reference
+                         ultralytics_loss.py:17-311, `--ultralytics_loss`):
+                         anchor-ratio filter + neighbor-cell expansion.
+
+Both consume padded (bs, max_boxes, 5) label tensors + mask — target building
+runs vectorized on device (see train/targets.py), eliminating the reference's
+per-image CPU loop (loss.py:70).
+
+Known fix vs the reference (documented, intentional): cells marked "ignore"
+(obj target -1) are *excluded* from the objectness BCE. The reference feeds
+-1 straight into BCEWithLogitsLoss (loss.py:217-220), which makes the loss
+unbounded below (log σ − 2·log(1−σ) → −∞) — masking is the intended
+semantics of ignore.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from yolov5m_tpu.config import Config
+from yolov5m_tpu.ops.boxes import box_iou
+from yolov5m_tpu.train.targets import build_flat_targets, build_grid_targets
+
+BALANCE = (4.0, 1.0, 0.4)  # per-scale obj weighting, reference loss.py:36
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """Scale-invariant lambda weights (reference loss.py:32-34)."""
+
+    nc: int = 80
+    nl: int = 3
+    image_size: int = 640
+    anchor_t: float = 4.0
+    ignore_iou_thresh: float = 0.5
+
+    @property
+    def lambda_class(self) -> float:
+        return 0.5 * (self.nc / 80 * 3 / self.nl)
+
+    @property
+    def lambda_obj(self) -> float:
+        return 1.0 * ((self.image_size / 640) ** 2 * 3 / self.nl)
+
+    @property
+    def lambda_box(self) -> float:
+        return 0.05 * (3 / self.nl)
+
+    @classmethod
+    def from_config(cls, cfg: Config) -> "LossConfig":
+        return cls(nc=cfg.nc, image_size=cfg.image_size,
+                   anchor_t=cfg.anchor_t, ignore_iou_thresh=cfg.ignore_iou_thresh)
+
+
+def bce_logits(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise binary cross entropy with logits (numerically stable)."""
+    return jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+def _masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    m = mask.astype(x.dtype)
+    return jnp.sum(x * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+class YoloLoss:
+    """Callable loss. Static config captured at construction; __call__ is a
+    pure function of (preds, labels, mask) so it jits and differentiates.
+    """
+
+    def __init__(self, lc: LossConfig, anchors_px, kind: str = "custom",
+                 strides: Sequence[int] = (8, 16, 32)):
+        assert kind in ("custom", "ultralytics")
+        self.lc = lc
+        self.anchors_px = jnp.asarray(anchors_px, jnp.float32)  # (nl, na, 2)
+        self.kind = kind
+        self.strides = tuple(strides)
+
+    def __call__(self, preds: Sequence[jnp.ndarray], labels: jnp.ndarray,
+                 label_mask: jnp.ndarray) -> Tuple[jnp.ndarray, dict]:
+        """preds: list of (bs, na, ny, nx, 5+nc) raw logits.
+        labels: (bs, nb, 5) (class, x, y, w, h) normalized; label_mask: (bs, nb).
+        Returns (total_loss, {"box","obj","cls"}) — total scaled by bs like
+        reference loss.py:236 / ultralytics_loss.py:120.
+        """
+        if self.kind == "custom":
+            return self._custom(preds, labels, label_mask)
+        return self._ultralytics(preds, labels, label_mask)
+
+    # ---------------- custom (grid targets) ----------------
+
+    def _custom(self, preds, labels, label_mask):
+        lc = self.lc
+        grid_sizes = [(p.shape[2], p.shape[3]) for p in preds]
+        targets = build_grid_targets(labels, label_mask, self.anchors_px,
+                                     grid_sizes, lc.ignore_iou_thresh)
+        bs = preds[0].shape[0]
+        lbox = lobj = lcls = 0.0
+        for s, (p, t) in enumerate(zip(preds, targets)):
+            p = p.astype(jnp.float32)
+            anchors = self.anchors_px[s] / float(self.strides[s])  # cell units
+            pos = t[..., 4] == 1.0
+            ign = t[..., 4] == -1.0
+
+            pxy = jax.nn.sigmoid(p[..., 0:2]) * 2.0 - 0.5
+            pwh = (jax.nn.sigmoid(p[..., 2:4]) * 2.0) ** 2 * anchors[None, :, None, None, :]
+            pbox = jnp.concatenate([pxy, pwh], axis=-1)
+            iou = box_iou(pbox, t[..., 0:4], giou=True)[..., 0]   # (bs,na,ny,nx)
+            lbox = lbox + _masked_mean(1.0 - iou, pos)
+
+            # objectness: positives weighted by detached clamped IoU
+            # (reference loss.py:217-220); ignores masked out (see module doc)
+            tobj = jnp.where(pos, jnp.clip(jax.lax.stop_gradient(iou), 0.0), 0.0)
+            obj_bce = bce_logits(p[..., 4], tobj)
+            lobj = lobj + _masked_mean(obj_bce, ~ign) * BALANCE[s]
+
+            tcls = jax.nn.one_hot(t[..., 5].astype(jnp.int32), lc.nc)
+            cls_bce = bce_logits(p[..., 5:], tcls)
+            lcls = lcls + _masked_mean(cls_bce, pos[..., None] &
+                                       jnp.ones_like(cls_bce, jnp.bool_))
+
+        total = (lc.lambda_box * lbox + lc.lambda_obj * lobj
+                 + lc.lambda_class * lcls) * bs
+        return total, {"box": lc.lambda_box * lbox,
+                       "obj": lc.lambda_obj * lobj,
+                       "cls": lc.lambda_class * lcls}
+
+    # ---------------- ultralytics (flat candidates) ----------------
+
+    def _ultralytics(self, preds, labels, label_mask):
+        lc = self.lc
+        grid_sizes = [(p.shape[2], p.shape[3]) for p in preds]
+        per_scale = build_flat_targets(labels, label_mask, self.anchors_px,
+                                       grid_sizes, lc.anchor_t, self.strides)
+        bs = preds[0].shape[0]
+        lbox = lobj = lcls = 0.0
+        for s, (p, m) in enumerate(zip(preds, per_scale)):
+            p = p.astype(jnp.float32)
+            valid = m["valid"]
+            rows = p[m["b"], m["a"], m["gj"], m["gi"]]        # (M, 5+nc)
+
+            pxy = jax.nn.sigmoid(rows[..., 0:2]) * 2.0 - 0.5
+            pwh = (jax.nn.sigmoid(rows[..., 2:4]) * 2.0) ** 2 * m["anchor_wh"]
+            pbox = jnp.concatenate([pxy, pwh], axis=-1)
+            iou = box_iou(pbox, m["tbox"], giou=True)[..., 0]  # (M,)
+            lbox = lbox + _masked_mean(1.0 - iou, valid)
+
+            # scatter detached IoU into the obj target grid; overlapping
+            # matches resolve by max (reference's last-write order at
+            # ultralytics_loss.py:89 is nondeterministic anyway)
+            iou_d = jnp.clip(jax.lax.stop_gradient(iou), 0.0)
+            tobj = jnp.zeros(p.shape[:4], jnp.float32)
+            tobj = tobj.at[m["b"], m["a"], m["gj"], m["gi"]].max(
+                jnp.where(valid, iou_d, 0.0))
+            lobj = lobj + jnp.mean(bce_logits(p[..., 4], tobj)) * BALANCE[s]
+
+            if lc.nc > 1:
+                tcls = jax.nn.one_hot(m["tcls"], lc.nc)
+                cls_bce = bce_logits(rows[..., 5:], tcls)
+                lcls = lcls + _masked_mean(
+                    cls_bce, valid[:, None] & jnp.ones_like(cls_bce, jnp.bool_))
+
+        total = (lc.lambda_box * lbox + lc.lambda_obj * lobj
+                 + lc.lambda_class * lcls) * bs
+        return total, {"box": lc.lambda_box * lbox,
+                       "obj": lc.lambda_obj * lobj,
+                       "cls": lc.lambda_class * lcls}

@@ -1,0 +1,215 @@
+"""Vectorized, on-device anchor-target assignment.
+
+The reference builds grid targets with a per-image, per-box Python loop on the
+CPU inside the loss (reference loss.py:70,101-192) and again in the validation
+dataset (reference dataset.py:341-414) — its biggest structural inefficiency
+(SURVEY.md §3.1). Here the same assignment runs as one fixed-shape scatter
+graph over the whole padded batch, on device, under jit.
+
+Assignment semantics (reference loss.py:118-191):
+  * per gt box, anchors are ranked by wh-IoU; the best anchor of each scale
+    claims the box's cell (the reference walks a global descending sort and
+    takes the first unclaimed anchor per scale — the first anchor of a scale
+    in that order is exactly the scale's argmax);
+  * non-best anchors with wh-IoU > ignore_thresh mark their cell "ignore"
+    (obj = -1) unless the cell is claimed;
+  * cell/anchor conflicts between boxes: first box in label order wins
+    (reference's `anchor_taken` check). We reproduce this deterministically
+    with a scatter-min tournament on the box index instead of sequential
+    state.
+
+Grid target channels: (x_cell, y_cell, w_cell, h_cell, obj, class), matching
+reference dataset.py:393-409.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from yolov5m_tpu.ops.boxes import iou_wh
+
+
+def anchor_iou_all(wh: jnp.ndarray, anchors_px: jnp.ndarray) -> jnp.ndarray:
+    """wh-IoU of each box against all anchors.
+
+    Args:
+      wh: (..., 2) normalized box sizes (fraction of image).
+      anchors_px: (nl, na, 2) anchors in pixels at the canonical 640 scale.
+    Returns:
+      (..., nl, na) IoU (matches reference iou_width_height usage at
+      loss.py:120, where normalized anchors are rescaled by stride — i.e.
+      compared in units of the 640-normalized image).
+    """
+    anchors_n = anchors_px.reshape(-1, 2) / 640.0  # (nl*na, 2) normalized
+    iou = iou_wh(wh[..., None, :], anchors_n)      # (..., nl*na)
+    return iou.reshape(*wh.shape[:-1], anchors_px.shape[0], anchors_px.shape[1])
+
+
+def build_grid_targets(
+    labels: jnp.ndarray,
+    label_mask: jnp.ndarray,
+    anchors_px: jnp.ndarray,
+    grid_sizes: Sequence[Tuple[int, int]],
+    ignore_iou_thresh: float = 0.5,
+) -> List[jnp.ndarray]:
+    """Build per-scale grid targets for a padded label batch.
+
+    Args:
+      labels: (bs, nb, 5) rows (class, x, y, w, h), normalized coords.
+      label_mask: (bs, nb) bool — True for real boxes.
+      anchors_px: (nl, na, 2) anchor priors in pixels (640-scale).
+      grid_sizes: [(ny, nx)] * nl (static).
+    Returns:
+      list of nl tensors (bs, na, ny, nx, 6): (x_c, y_c, w_c, h_c, obj, cls),
+      obj ∈ {1 (positive), 0 (background), -1 (ignore)}.
+    """
+    bs, nb, _ = labels.shape
+    nl, na, _ = anchors_px.shape
+
+    cls = labels[..., 0]
+    xy = labels[..., 1:3]
+    wh = labels[..., 3:5]
+
+    iou = anchor_iou_all(wh, anchors_px)                  # (bs, nb, nl, na)
+    best_anchor = jnp.argmax(iou, axis=-1)                # (bs, nb, nl)
+    best_iou = jnp.max(iou, axis=-1)
+
+    targets = []
+    for s, (ny, nx) in enumerate(grid_sizes):
+        gx = xy[..., 0] * nx                              # (bs, nb)
+        gy = xy[..., 1] * ny
+        j = jnp.clip(gx.astype(jnp.int32), 0, nx - 1)
+        i = jnp.clip(gy.astype(jnp.int32), 0, ny - 1)
+
+        a_best = best_anchor[..., s]                      # (bs, nb)
+
+        # --- positive assignment: first valid box per (a, i, j) wins ---
+        box_ids = jnp.broadcast_to(jnp.arange(nb)[None, :], (bs, nb))
+        claim = jnp.where(label_mask, box_ids, nb)        # padded boxes lose
+        winner = jnp.full((bs, na, ny, nx), nb, jnp.int32)
+        winner = winner.at[
+            jnp.arange(bs)[:, None], a_best, i, j
+        ].min(claim.astype(jnp.int32))                    # (bs, na, ny, nx)
+
+        has_pos = winner < nb
+        w_idx = jnp.where(has_pos, winner, 0)
+        batch_ix = jnp.arange(bs)[:, None, None, None]
+        take = lambda v: v[batch_ix, w_idx]  # (bs,nb) → (bs,na,ny,nx)  # noqa: E731
+
+        tx = take(gx) - take(j).astype(jnp.float32)       # x within cell
+        ty = take(gy) - take(i).astype(jnp.float32)
+        tw = take(wh[..., 0] * nx)
+        th = take(wh[..., 1] * ny)
+        tc = take(cls)
+
+        # --- ignore marks: any anchor of this scale with iou > thresh that
+        # is not the box's best anchor for the scale (reference loss.py:189) ---
+        iou_s = iou[..., s, :]                            # (bs, nb, na)
+        is_best = jax.nn.one_hot(a_best, na, dtype=jnp.bool_)
+        ignore_cand = (iou_s > ignore_iou_thresh) & ~is_best & label_mask[..., None]
+        ign = jnp.zeros((bs, na, ny, nx), jnp.bool_)
+        anchor_ids = jnp.broadcast_to(jnp.arange(na)[None, None, :], (bs, nb, na))
+        ign = ign.at[
+            jnp.arange(bs)[:, None, None],
+            anchor_ids,
+            i[..., None] * jnp.ones((1, 1, na), jnp.int32),
+            j[..., None] * jnp.ones((1, 1, na), jnp.int32),
+        ].max(ignore_cand)
+
+        obj = jnp.where(has_pos, 1.0, jnp.where(ign, -1.0, 0.0))
+        tgt = jnp.stack([tx, ty, tw, th, obj, tc], axis=-1)
+        tgt = jnp.where(has_pos[..., None],
+                        tgt,
+                        jnp.concatenate([jnp.zeros_like(tgt[..., :4]),
+                                         obj[..., None],
+                                         jnp.zeros_like(tgt[..., 5:])], axis=-1))
+        targets.append(tgt)
+
+    return targets
+
+
+def build_flat_targets(
+    labels: jnp.ndarray,
+    label_mask: jnp.ndarray,
+    anchors_px: jnp.ndarray,
+    grid_sizes: Sequence[Tuple[int, int]],
+    anchor_t: float = 4.0,
+    strides: Sequence[int] = (8, 16, 32),
+) -> List[dict]:
+    """Ultralytics-style candidate matching, fixed-shape (reference
+    ultralytics_loss.py:122-311).
+
+    Per scale: replicate each (box, anchor) pair, keep pairs whose wh ratio
+    satisfies max(r, 1/r) < anchor_t, then expand each kept pair to its cell
+    plus up to 2 neighbor cells (the 5-offset table at ultralytics_loss.py:151,
+    conditions at :233-246).
+
+    Returns per-scale dicts of fixed-shape arrays with a validity mask:
+      b, a, gj, gi: (M,) int32 indices (M = 5*na*bs*nb)
+      tbox: (M, 4) regression targets (dx, dy, w_cells, h_cells)
+      tcls: (M,) int32
+      anchor_wh: (M, 2) matched anchor in cell units
+      valid: (M,) bool
+    """
+    bs, nb, _ = labels.shape
+    nl, na, _ = anchors_px.shape
+    g = 0.5
+    # offsets: center, left(+x), up(+y), right, down — ultralytics_loss.py:151-160
+    offsets = jnp.asarray(
+        [[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [-1.0, 0.0], [0.0, -1.0]]) * g
+
+    cls = labels[..., 0].reshape(-1)                       # (bs*nb,)
+    xy = labels[..., 1:3].reshape(-1, 2)
+    wh = labels[..., 3:5].reshape(-1, 2)
+    bidx = jnp.repeat(jnp.arange(bs), nb)
+    vmask = label_mask.reshape(-1)
+
+    out = []
+    for s, (ny, nx) in enumerate(grid_sizes):
+        gain = jnp.asarray([nx, ny], jnp.float32)
+        gxy = xy * gain                                    # (N, 2) grid coords
+        gwh = wh * gain                                    # cells
+        # anchors in cell units: anchor_px / stride (reference model.py:156
+        # stride-normalized buffer, consumed at ultralytics_loss.py:186)
+        anc = anchors_px[s] / float(strides[s])
+
+        r = gwh[:, None, :] / anc[None, :, :]              # (N, na, 2)
+        ratio_ok = jnp.max(jnp.maximum(r, 1.0 / r), axis=-1) < anchor_t
+        pair_ok = ratio_ok & vmask[:, None]                # (N, na)
+
+        # neighbor-cell conditions (ultralytics_loss.py:233-246)
+        jx = (gxy[:, 0] % 1.0 < g) & (gxy[:, 0] > 1.0)
+        ky = (gxy[:, 1] % 1.0 < g) & (gxy[:, 1] > 1.0)
+        lx = ((gain[0] - gxy[:, 0]) % 1.0 < g) & (gain[0] - gxy[:, 0] > 1.0)
+        my = ((gain[1] - gxy[:, 1]) % 1.0 < g) & (gain[1] - gxy[:, 1] > 1.0)
+        off_ok = jnp.stack(
+            [jnp.ones_like(jx), jx, ky, lx, my], axis=0)   # (5, N)
+
+        valid = off_ok[:, :, None] & pair_ok[None]         # (5, N, na)
+
+        gij = (gxy[None, :, None, :] - offsets[:, None, None, :])  # (5,N,na→broadcast,2)
+        gij = jnp.floor(gij).astype(jnp.int32)
+        gij = jnp.broadcast_to(gij, (5, gxy.shape[0], na, 2))
+        gi = jnp.clip(gij[..., 0], 0, nx - 1)
+        gj = jnp.clip(gij[..., 1], 0, ny - 1)
+
+        dxy = gxy[None, :, None, :] - gij.astype(jnp.float32)      # (5,N,na,2)
+        tbox = jnp.concatenate(
+            [dxy, jnp.broadcast_to(gwh[None, :, None, :], dxy.shape)], axis=-1)
+
+        n_flat = 5 * gxy.shape[0] * na
+        a_ids = jnp.broadcast_to(jnp.arange(na)[None, None, :], (5, gxy.shape[0], na))
+        out.append({
+            "b": jnp.broadcast_to(bidx[None, :, None], a_ids.shape).reshape(n_flat),
+            "a": a_ids.reshape(n_flat),
+            "gj": gj.reshape(n_flat),
+            "gi": gi.reshape(n_flat),
+            "tbox": tbox.reshape(n_flat, 4),
+            "tcls": jnp.broadcast_to(cls[None, :, None], a_ids.shape).reshape(n_flat).astype(jnp.int32),
+            "anchor_wh": jnp.broadcast_to(anc[None, None], (5, gxy.shape[0], na, 2)).reshape(n_flat, 2),
+            "valid": valid.reshape(n_flat),
+        })
+    return out
