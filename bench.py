@@ -1,0 +1,67 @@
+"""Headline benchmark: 640x640 batch inference images/sec/chip including NMS.
+
+Matches the north-star metric (BASELINE.json): YOLOv5m (first_out=48, 80
+classes) forward + decode + class-aware NMS, all on-device in one jit.
+`vs_baseline` is the ratio against the 2x-A100 target: we take ~300 img/s as
+a plain-PyTorch A100 yolov5m 640 batch-inference figure, so target = 600
+img/s and vs_baseline = value / 600 (>1.0 beats the target).
+
+Prints exactly one JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from yolov5m_tpu.config import Config
+from yolov5m_tpu.models import YOLOv5
+from yolov5m_tpu.models.yolo import normalized_anchors
+from yolov5m_tpu.ops.decode import decode_predictions
+from yolov5m_tpu.ops.nms import batched_nms
+
+A100_TARGET_IMG_S = 600.0  # 2x ~300 img/s (plain-torch A100 yolov5m batch inference)
+
+
+def main(batch_size: int = 32, iters: int = 20, warmup: int = 3) -> None:
+    cfg = Config()
+    model = YOLOv5(first_out=cfg.first_out, nc=cfg.nc, dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(rng, jnp.zeros((1, 640, 640, 3), jnp.float32))
+    anchors = jnp.asarray(normalized_anchors())
+
+    @jax.jit
+    def infer(v, x):
+        preds = model.apply(v, x, train=False)
+        rows = decode_predictions(preds, anchors)
+        return batched_nms(rows, cfg.nms_iou_thresh, 0.25,
+                           cfg.max_detections, cfg.pre_nms_topk)
+
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 1, (batch_size, 640, 640, 3))
+        .astype(np.float32))
+
+    for _ in range(warmup):
+        det, valid = infer(variables, x)
+    det.block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        det, valid = infer(variables, x)
+    det.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    img_s = batch_size * iters / dt
+    print(json.dumps({
+        "metric": "640x640 images/sec/chip incl. NMS (bs=%d, bf16)" % batch_size,
+        "value": round(img_s, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_s / A100_TARGET_IMG_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -2,20 +2,40 @@
 
 This is the TPU-native analog of fake-backend testing (SURVEY.md §4): sharding
 and collective code paths compile and execute on N host devices without
-hardware. Must run before jax initializes, hence the env mutation at import.
+hardware.
+
+Note: this environment's axon TPU plugin registers itself in sitecustomize at
+interpreter startup and pins JAX_PLATFORMS before any test code runs, so env
+mutation alone does NOT switch to CPU — jax.config.update('jax_platforms')
+after import is required (see .claude/skills/verify/SKILL.md).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# honored if the backend isn't initialized yet (belt and suspenders)
+os.environ.setdefault("JAX_NUM_CPU_DEVICES", "8")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-import numpy as np
-import pytest
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:
+    pass  # older jax: env vars above cover it
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    assert jax.devices()[0].platform == "cpu", (
+        "tests must run on the virtual CPU mesh, got " + str(jax.devices()[0]))
+    assert len(jax.devices()) == 8, f"expected 8 CPU devices, got {len(jax.devices())}"
 
 
 @pytest.fixture

@@ -1,0 +1,91 @@
+"""End-to-end smoke: train CLI for 1 epoch on a tiny synthetic dataset, then
+resume, then detect CLI on one image. Exercises loaders, trainer, evaluator,
+CSV logging, checkpointing, prediction dumps, and the detect pipeline."""
+
+import json
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+@pytest.fixture
+def dataset_root(tmp_path, rng):
+    root = tmp_path / "datasets" / "tiny"
+    for split in ("train", "val"):
+        os.makedirs(root / "images" / split)
+        os.makedirs(root / "labels" / split)
+        n = 4 if split == "train" else 2
+        for i in range(n):
+            w = h = 96
+            img = rng.integers(0, 255, (h, w, 3), np.uint8)
+            img[20:60, 20:60] = [255, 0, 0]
+            Image.fromarray(img).save(root / "images" / split / f"im{i}.jpg")
+            (root / "labels" / split / f"im{i}.txt").write_text(
+                "20 20 40 40 1\n10 60 30 20 2\n")
+    (root / "data.yaml").write_text("nc: 4\nnames: [a, b, c, d]\n")
+    return str(tmp_path / "datasets")
+
+
+def _opt(datasets_dir, **kw):
+    base = dict(
+        data="tiny", box_format="coco", nosaveimgs=False, nosavemodel=False,
+        epochs=1, ultralytics_loss=False, nosavelogs=False, rect=False,
+        bs=2, nw=0, resume=False, filename=None, load_coco_weights=False,
+        weights="", only_eval=False, dp=1, first_out=8, image_size=64,
+        max_boxes=16, datasets_dir=datasets_dir)
+    base.update(kw)
+    return types.SimpleNamespace(**base)
+
+
+def test_train_cli_one_epoch_and_resume(dataset_root, tmp_path, monkeypatch):
+    from yolov5m_tpu.cli.train import main
+
+    monkeypatch.chdir(tmp_path)
+    main(_opt(dataset_root))
+
+    # artifacts: checkpoint, CSVs, prediction images
+    ckpt = tmp_path / "SAVED_CHECKPOINT" / "model_1" / "checkpoint_epoch_1.msgpack"
+    assert ckpt.is_file()
+    loss_csv = (tmp_path / "train_eval_metrics" / "model_1" / "loss.csv").read_text()
+    eval_csv = (tmp_path / "train_eval_metrics" / "model_1" / "eval.csv").read_text()
+    assert loss_csv.startswith("epoch,batch_idx,box_loss,object_loss,class_loss")
+    assert len(loss_csv.strip().splitlines()) >= 2
+    assert len(eval_csv.strip().splitlines()) == 2
+    imgs = tmp_path / "SAVED_IMAGES" / "model_1" / "EPOCH_1"
+    assert len(list(imgs.glob("*.png"))) >= 1
+
+    # resume continues at epoch 2
+    main(_opt(dataset_root, resume=True, filename="model_1"))
+    assert (tmp_path / "SAVED_CHECKPOINT" / "model_1"
+            / "checkpoint_epoch_2.msgpack").is_file()
+    eval_csv = (tmp_path / "train_eval_metrics" / "model_1" / "eval.csv").read_text()
+    assert len(eval_csv.strip().splitlines()) == 3  # header + 2 epochs
+
+
+def test_train_cli_only_eval(dataset_root, tmp_path, monkeypatch):
+    from yolov5m_tpu.cli.train import main
+
+    monkeypatch.chdir(tmp_path)
+    main(_opt(dataset_root, only_eval=True, nosaveimgs=True, nosavemodel=True,
+              nosavelogs=True, filename="eval_run"))
+    assert not (tmp_path / "SAVED_CHECKPOINT" / "eval_run").exists()
+
+
+def test_detect_cli(dataset_root, tmp_path, monkeypatch, rng):
+    from yolov5m_tpu.cli import detect
+
+    monkeypatch.chdir(tmp_path)
+    img_path = tmp_path / "test.jpg"
+    Image.fromarray(rng.integers(0, 255, (120, 160, 3), np.uint8)).save(img_path)
+
+    opt = types.SimpleNamespace(
+        checkpoint=None, weights=None, img=str(img_path), nc=4,
+        labels="a,b,c,d", first_out=8, image_size=64, conf=0.25, iou=0.45,
+        save_pred=True, out=str(tmp_path / "detections_exp"))
+    detect.main(opt)
+    outs = list((tmp_path / "detections_exp").glob("*_pred.png"))
+    assert len(outs) == 1

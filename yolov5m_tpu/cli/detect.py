@@ -1,0 +1,118 @@
+"""Inference CLI — the reference detect.py equivalent (reference
+detect.py:16-55), with its broken checkpoint-loading and kwarg bugs fixed
+(SURVEY.md §2 quirks) and the whole forward+decode+NMS pipeline jitted.
+
+Usage:
+  python -m yolov5m_tpu.cli.detect --checkpoint SAVED_CHECKPOINT/model_1/checkpoint_epoch_8.msgpack \
+      --img path/to/image.jpg --nc 2 --save_pred
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+from PIL import Image
+
+
+def arg_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="msgpack checkpoint (full TrainState or bare variables)")
+    p.add_argument("--weights", type=str, default=None,
+                   help="npz of torch-layout weights (alternative to --checkpoint)")
+    p.add_argument("--img", type=str, required=True)
+    p.add_argument("--nc", type=int, default=2, help="number of classes (FLIR=2)")
+    p.add_argument("--labels", type=str, default=None,
+                   help="comma-separated class names; default FLIR or COCO by nc")
+    p.add_argument("--first_out", type=int, default=48)
+    p.add_argument("--image_size", type=int, default=640)
+    p.add_argument("--conf", type=float, default=0.25)
+    p.add_argument("--iou", type=float, default=0.45)
+    p.add_argument("--save_pred", action="store_true",
+                   help="save annotated image under detections_exp/")
+    p.add_argument("--out", type=str, default="detections_exp")
+    return p.parse_args()
+
+
+def load_variables(opt, model, jnp):
+    import jax
+    from yolov5m_tpu.models.weights import convert_torch_state_dict
+    from flax import serialization
+
+    template = model.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, opt.image_size, opt.image_size, 3)))
+    if opt.weights:
+        sd = dict(np.load(opt.weights))
+        return convert_torch_state_dict(sd, template)
+    if opt.checkpoint:
+        with open(opt.checkpoint, "rb") as f:
+            blob = f.read()
+        state = serialization.msgpack_restore(blob)
+        # accept either a full TrainState dump or bare variables
+        if "params" in state and "batch_stats" in state:
+            params = state.get("ema_params") or state["params"]
+            return {"params": params, "batch_stats": state["batch_stats"]}
+        raise SystemExit("unrecognized checkpoint structure")
+    print("WARNING: no --checkpoint/--weights given; using random init")
+    return template
+
+
+def main(opt):
+    import jax
+    import jax.numpy as jnp
+
+    from yolov5m_tpu.config import COCO_LABELS, FLIR_LABELS, Config
+    from yolov5m_tpu.data.native import letterbox
+    from yolov5m_tpu.models import YOLOv5
+    from yolov5m_tpu.models.yolo import normalized_anchors
+    from yolov5m_tpu.ops.decode import decode_predictions
+    from yolov5m_tpu.ops.nms import batched_nms
+    from yolov5m_tpu.utils.plotting import plot_image
+
+    if opt.labels:
+        labels = opt.labels.split(",")
+    else:
+        labels = FLIR_LABELS if opt.nc == 2 else COCO_LABELS
+
+    cfg = Config(first_out=opt.first_out, nc=opt.nc, image_size=opt.image_size)
+    model = YOLOv5(first_out=cfg.first_out, nc=cfg.nc, dtype=jnp.bfloat16)
+    variables = load_variables(opt, model, jnp)
+    anchors_norm = jnp.asarray(normalized_anchors())
+
+    raw = np.asarray(Image.open(opt.img).convert("RGB"))
+    img, ratio, (dw, dh) = letterbox(raw, (opt.image_size, opt.image_size))
+    x = jnp.asarray(img[None].astype(np.float32) / 255.0)
+
+    @jax.jit
+    def infer(v, x):
+        preds = model.apply(v, x, train=False)
+        rows = decode_predictions(preds, anchors_norm)
+        return batched_nms(rows, opt.iou, opt.conf, cfg.max_detections,
+                           cfg.pre_nms_topk)
+
+    t0 = time.perf_counter()
+    det, valid = infer(variables, x)
+    det = np.asarray(det)[0]
+    valid = np.asarray(valid)[0]
+    print(f"inference (incl. compile): {time.perf_counter() - t0:.2f}s")
+
+    rows = det[valid]
+    print(f"{len(rows)} detections:")
+    for r in rows:
+        name = labels[int(r[0])] if int(r[0]) < len(labels) else str(int(r[0]))
+        print(f"  {name:>14s} {r[1]:.3f} [{r[2]:.0f}, {r[3]:.0f}, {r[4]:.0f}, {r[5]:.0f}]")
+
+    if opt.save_pred:
+        os.makedirs(opt.out, exist_ok=True)
+        out_path = os.path.join(
+            opt.out, os.path.splitext(os.path.basename(opt.img))[0] + "_pred.png")
+        plot_image(img.astype(np.float32) / 255.0, rows, labels,
+                   save_path=out_path)
+        print(f"saved {out_path}")
+
+
+if __name__ == "__main__":
+    main(arg_parser())

@@ -1,0 +1,225 @@
+"""Training CLI — flag surface of the reference train.py (reference
+train.py:16-33) plus TPU-native extras (--dp for data-parallel device count,
+--first_out/--image_size for model scaling).
+
+Usage:
+  python -m yolov5m_tpu.cli.train --data coco --bs 16 --epochs 273
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def arg_parser():
+    p = argparse.ArgumentParser()
+    # reference flags (train.py:16-33)
+    p.add_argument("--data", type=str, default="coco", help="dataset name under datasets/")
+    p.add_argument("--box_format", type=str, default="coco", choices=["coco", "yolo"])
+    p.add_argument("--nosaveimgs", action="store_true")
+    p.add_argument("--nosavemodel", action="store_true")
+    p.add_argument("--epochs", type=int, default=273)
+    p.add_argument("--ultralytics_loss", action="store_true")
+    p.add_argument("--nosavelogs", action="store_true")
+    p.add_argument("--rect", action="store_true", help="rectangular training")
+    p.add_argument("--bs", type=int, default=16)
+    p.add_argument("--nw", type=int, default=4,
+                   help="loader worker threads (host-side prefetch)")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--filename", type=str, default=None)
+    p.add_argument("--load_coco_weights", action="store_true",
+                   help="bootstrap from a converted torch state dict (--weights)")
+    p.add_argument("--weights", type=str, default="yolov5m_coco.npz",
+                   help="numpy archive of torch-layout weights for --load_coco_weights")
+    p.add_argument("--only_eval", action="store_true")
+    # TPU-native extras
+    p.add_argument("--dp", type=int, default=0,
+                   help="data-parallel device count (0 = all available)")
+    p.add_argument("--first_out", type=int, default=48)
+    p.add_argument("--image_size", type=int, default=640)
+    p.add_argument("--max_boxes", type=int, default=120)
+    p.add_argument("--datasets_dir", type=str, default=None,
+                   help="override the datasets root (default: ../datasets)")
+    return p.parse_args()
+
+
+def resolve_dataset(opt):
+    """nc/labels from datasets/{data}/data.yaml, falling back to config
+    (reference train.py:43-53)."""
+    from yolov5m_tpu.config import COCO_LABELS
+
+    if opt.datasets_dir:
+        root = os.path.join(opt.datasets_dir, opt.data)
+    else:
+        parent = Path(os.getcwd())
+        root = os.path.join(parent, "datasets", opt.data)
+    yaml_path = os.path.join(root, "data.yaml")
+    if os.path.isfile(yaml_path):
+        import yaml
+        with open(yaml_path) as f:
+            data = yaml.safe_load(f)
+        return root, int(data["nc"]), list(data["names"])
+    return root, len(COCO_LABELS), list(COCO_LABELS)
+
+
+def main(opt):
+    import jax
+    import jax.numpy as jnp
+
+    from yolov5m_tpu.config import ANCHORS, Config
+    from yolov5m_tpu.data import get_loaders
+    from yolov5m_tpu.eval import Evaluator
+    from yolov5m_tpu.models import YOLOv5
+    from yolov5m_tpu.models.weights import convert_torch_state_dict
+    from yolov5m_tpu.models.yolo import normalized_anchors
+    from yolov5m_tpu.ops.decode import decode_predictions
+    from yolov5m_tpu.ops.nms import batched_nms
+    from yolov5m_tpu.parallel import (
+        make_dp_train_step, make_mesh, replicate_state, shard_batch)
+    from yolov5m_tpu.train import LossConfig, YoloLoss
+    from yolov5m_tpu.train.trainer import (
+        accumulation_steps, create_train_state, make_optimizer, make_train_step)
+    from yolov5m_tpu.utils import (
+        CSVLogger, latest_epoch, load_checkpoint, next_run_name, save_checkpoint)
+    from yolov5m_tpu.utils.plotting import save_prediction_images
+
+    root, nc, labels = resolve_dataset(opt)
+    cfg = Config(first_out=opt.first_out, nc=nc, image_size=opt.image_size,
+                 epochs=opt.epochs, batch_size=opt.bs,
+                 max_boxes_per_image=opt.max_boxes)
+
+    model = YOLOv5(first_out=cfg.first_out, nc=cfg.nc, dtype=jnp.bfloat16)
+    anchors_norm = normalized_anchors()
+    anchors_px = np.asarray(ANCHORS, np.float32)
+
+    optimizer = make_optimizer(cfg)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               (cfg.image_size, cfg.image_size), optimizer)
+
+    # run naming + resume (reference train.py:76-92)
+    ckpt_root = "SAVED_CHECKPOINT"
+    starting_epoch = 1
+    if opt.resume:
+        filename = opt.filename or "model_1"
+        last = latest_epoch(ckpt_root, filename)
+        if last is None:
+            raise SystemExit(f"--resume: no checkpoints under {ckpt_root}/{filename}")
+        state = load_checkpoint(state, ckpt_root, filename, last)
+        starting_epoch = last + 1
+        print(f"==> resumed {filename} at epoch {last}")
+    else:
+        filename = opt.filename or next_run_name(ckpt_root)
+
+    if opt.load_coco_weights:
+        sd = dict(np.load(opt.weights))
+        variables = convert_torch_state_dict(
+            sd, {"params": state.params, "batch_stats": state.batch_stats})
+        state = state.replace(params=variables["params"],
+                              batch_stats=variables["batch_stats"],
+                              ema_params=variables["params"])
+        print(f"==> loaded converted torch weights from {opt.weights}")
+
+    save_logs = not opt.nosavelogs
+    logger = CSVLogger("train_eval_metrics", filename, resume=opt.resume) \
+        if save_logs else None
+
+    train_loader, val_loader = get_loaders(
+        root, opt.bs, rect_training=opt.rect, box_format=opt.box_format,
+        max_boxes=opt.max_boxes, default_size=opt.image_size)
+
+    loss_fn = YoloLoss(LossConfig.from_config(cfg), anchors_px,
+                       kind="ultralytics" if opt.ultralytics_loss else "custom")
+    accumulate = accumulation_steps(opt.bs, cfg.nominal_batch_size)
+
+    n_dev = opt.dp or len(jax.devices())
+    if n_dev > 1:
+        mesh = make_mesh(n_dev)
+        step_fn = make_dp_train_step(model, loss_fn, optimizer, mesh, accumulate)
+        state = replicate_state(state, mesh)
+        put = lambda b: shard_batch(b, mesh)  # noqa: E731
+        print(f"==> data-parallel over {n_dev} devices")
+    else:
+        step_fn = jax.jit(make_train_step(model, loss_fn, optimizer, accumulate))
+        put = lambda b: {k: jnp.asarray(v) for k, v in b.items()}  # noqa: E731
+
+    evaluator = Evaluator(model, anchors_norm, cfg, anchors_px)
+
+    for epoch in range(starting_epoch, opt.epochs + starting_epoch):
+        if not opt.only_eval:
+            t0 = time.time()
+            epoch_loss, nb = 0.0, 0
+            for idx, batch in enumerate(train_loader):
+                b = put(batch)
+                state, metrics = step_fn(state, b["image"], b["labels"], b["mask"])
+                loss = float(metrics["loss"])
+                epoch_loss += loss
+                nb += 1
+                if idx % 10 == 0:
+                    print(f"epoch {epoch} [{idx}/{len(train_loader)}] "
+                          f"loss {loss:.4f} gnorm {float(metrics['grad_norm']):.2f}",
+                          flush=True)
+                if save_logs and idx % 100 == 0:
+                    logger.log_loss(epoch, idx, float(metrics["box"]),
+                                    float(metrics["obj"]), float(metrics["cls"]))
+            print(f"==> epoch {epoch} training_loss: {epoch_loss / max(nb,1):.2f} "
+                  f"({time.time()-t0:.0f}s)")
+
+        variables = {"params": state.eval_params, "batch_stats": state.batch_stats}
+        results = evaluator.run(variables, val_loader)
+        print(f"Class accuracy: {results['class_accuracy']*100:.2f}%")
+        print(f"Obj accuracy: {results['obj_accuracy']*100:.2f}%")
+        print(f"MAP50: {results['map50']:.4f}, MAP75: {results['map75']:.4f}")
+        if save_logs:
+            logger.log_eval(epoch, results["class_accuracy"],
+                            results["obj_accuracy"], results["map50"],
+                            results["map75"])
+
+        if not opt.nosaveimgs:
+            _dump_prediction_images(model, variables, anchors_norm, cfg,
+                                    val_loader, filename, epoch, labels,
+                                    decode_predictions, batched_nms, jnp)
+
+        if not opt.nosavemodel:
+            save_checkpoint(state, ckpt_root, filename, epoch)
+            print("=> Saving checkpoint...")
+
+
+def _dump_prediction_images(model, variables, anchors_norm, cfg, val_loader,
+                            filename, epoch, labels, decode_predictions,
+                            batched_nms, jnp, num_images: int = 5):
+    from yolov5m_tpu.ops.boxes import xywhn_to_xyxy
+    from yolov5m_tpu.utils.plotting import save_prediction_images
+    import numpy as _np
+
+    batch = next(iter(val_loader))
+    image = jnp.asarray(batch["image"])
+    preds = model.apply(variables, image, train=False)
+    rows = decode_predictions(preds, jnp.asarray(anchors_norm))
+    # visualization thresholds per reference plot_utils.py:82
+    det, valid = batched_nms(rows, 0.45, 0.25, cfg.max_detections,
+                             cfg.pre_nms_topk)
+    det, valid = _np.asarray(det), _np.asarray(valid)
+    h, w = batch["image"].shape[1:3]
+    pred_rows, gt_rows = [], []
+    for b in range(min(num_images, det.shape[0])):
+        pred_rows.append(det[b][valid[b]])
+        gt = batch["labels"][b][batch["mask"][b]]
+        if len(gt):
+            xyxy = _np.asarray(xywhn_to_xyxy(jnp.asarray(gt[:, 1:5]), w=w, h=h))
+            gt_rows.append(_np.concatenate(
+                [gt[:, :1], _np.ones((len(gt), 1)), xyxy], axis=1))
+        else:
+            gt_rows.append(_np.zeros((0, 6), _np.float32))
+    n = save_prediction_images(batch["image"], pred_rows, gt_rows,
+                               "SAVED_IMAGES", filename, epoch, labels,
+                               num_images)
+    print(f"=> Saved {n} prediction images")
+
+
+if __name__ == "__main__":
+    main(arg_parser())

@@ -1,0 +1,116 @@
+"""Validation-time evaluation: class/objectness accuracy + mAP50/75.
+
+Capability parity with the reference evaluator (reference
+utils/validation_utils.py:11-144), redesigned for the TPU pipeline:
+
+  * the per-batch device work (forward, decode, NMS, accuracy counts) is one
+    jitted graph; only fixed-shape results come back to the host;
+  * objectness accuracy reads prediction channel 4 (the reference reads
+    channel 0 — x offset — by mistake, validation_utils.py:67; fixed);
+  * ground truth for mAP comes straight from the padded labels instead of the
+    reference's grid-encode → decode → NMS round trip
+    (validation_utils.py:104-110), and predictions are matched per image,
+    not per concatenated batch (quirks in SURVEY.md §2);
+  * eval.csv rows keep the reference schema
+    (epoch, class_accuracy, obj_accuracy, map50, map75 —
+    validation_utils.py:28-31).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolov5m_tpu.config import Config
+from yolov5m_tpu.eval.metrics import MeanAveragePrecision
+from yolov5m_tpu.ops.boxes import xywhn_to_xyxy
+from yolov5m_tpu.ops.decode import decode_predictions
+from yolov5m_tpu.ops.nms import batched_nms
+from yolov5m_tpu.train.targets import build_grid_targets
+
+
+class Evaluator:
+    """Runs accuracy + mAP over a val loader for a given model/params."""
+
+    def __init__(self, model, anchors_norm, cfg: Config,
+                 anchors_px: Optional[np.ndarray] = None):
+        self.model = model
+        self.anchors_norm = jnp.asarray(anchors_norm)   # (nl, na, 2) / stride
+        self.anchors_px = (np.asarray(anchors_px) if anchors_px is not None
+                           else np.asarray(anchors_norm) * np.asarray(
+                               [8, 16, 32], np.float32)[:, None, None])
+        self.cfg = cfg
+        self._eval_batch = self._build_eval_batch()
+
+    def _build_eval_batch(self):
+        cfg = self.cfg
+
+        @jax.jit
+        def eval_batch(variables, image, labels, mask):
+            preds = self.model.apply(variables, image, train=False)
+
+            # --- decode + NMS (fixed shape) ---
+            rows = decode_predictions(preds, self.anchors_norm)
+            det, det_valid = batched_nms(
+                rows, cfg.nms_iou_thresh, cfg.conf_threshold,
+                cfg.max_detections, cfg.pre_nms_topk)
+
+            # --- class / objectness accuracy vs grid targets ---
+            grid_sizes = [(p.shape[2], p.shape[3]) for p in preds]
+            targets = build_grid_targets(labels, mask, jnp.asarray(self.anchors_px),
+                                         grid_sizes, cfg.ignore_iou_thresh)
+            correct_cls = total_cls = correct_obj = total_obj = 0.0
+            for p, t in zip(preds, targets):
+                pos = t[..., 4] == 1.0
+                pred_cls = jnp.argmax(p[..., 5:], axis=-1)
+                correct_cls += jnp.sum(jnp.where(pos, pred_cls == t[..., 5], False))
+                total_cls += jnp.sum(pos)
+                # channel 4 = objectness (reference bug reads channel 0)
+                obj_pred = jax.nn.sigmoid(p[..., 4]) > cfg.conf_threshold
+                correct_obj += jnp.sum(jnp.where(pos, obj_pred, False))
+                total_obj += jnp.sum(pos)
+
+            return det, det_valid, jnp.stack(
+                [correct_cls, total_cls, correct_obj, total_obj])
+
+        return eval_batch
+
+    def run(self, variables, loader: Iterable[dict]) -> dict:
+        """Evaluate over a BatchLoader. Returns metrics dict."""
+        mapm = MeanAveragePrecision()
+        counts = np.zeros(4)
+        for batch in loader:
+            h, w = batch["image"].shape[1:3]
+            det, det_valid, c = self._eval_batch(
+                variables, jnp.asarray(batch["image"]),
+                jnp.asarray(batch["labels"]), jnp.asarray(batch["mask"]))
+            counts += np.asarray(c)
+            det = np.asarray(det)
+            det_valid = np.asarray(det_valid)
+            for b in range(det.shape[0]):
+                keep = det_valid[b]
+                gt_mask = batch["mask"][b]
+                gt = batch["labels"][b][gt_mask]
+                gt_xyxy = np.asarray(xywhn_to_xyxy(jnp.asarray(gt[:, 1:5]),
+                                                   w=w, h=h)) if len(gt) else \
+                    np.zeros((0, 4), np.float32)
+                mapm.update(
+                    preds=dict(boxes=det[b][keep][:, 2:6],
+                               scores=det[b][keep][:, 1],
+                               labels=det[b][keep][:, 0]),
+                    targets=dict(boxes=gt_xyxy, labels=gt[:, 0]))
+
+        m = mapm.compute()
+        class_acc = counts[0] / (counts[1] + 1e-16)
+        obj_acc = counts[2] / (counts[3] + 1e-16)
+        return {
+            "class_accuracy": float(class_acc),
+            "obj_accuracy": float(obj_acc),
+            "map50": m["map_50"],
+            "map75": m["map_75"],
+            "map": m["map"],
+        }

@@ -15,7 +15,7 @@ the MXU gets bf16 matmuls without destabilizing the running stats.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -26,13 +26,21 @@ BN_EPS = 1e-3
 
 
 class CBL(nn.Module):
-    """Conv + BatchNorm + SiLU (reference model.py:12-28)."""
+    """Conv + BatchNorm + SiLU (reference model.py:12-28).
+
+    bn_axis: if set (e.g. "data"), BatchNorm computes batch statistics across
+    that mesh axis (sync-BN) — under data parallelism this makes the training
+    step mathematically identical to a single device on the global batch.
+    Default None = local per-device statistics (the reference's single-device
+    BN semantics, SURVEY.md §7 hard part 5).
+    """
 
     out_ch: int
     kernel: int
     stride: int = 1
     pad: int = 0
     dtype: jnp.dtype = jnp.float32
+    bn_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -50,6 +58,7 @@ class CBL(nn.Module):
             momentum=BN_MOMENTUM,
             epsilon=BN_EPS,
             dtype=jnp.float32,
+            axis_name=self.bn_axis if train else None,
             name="bn",
         )(x)
         return nn.silu(x.astype(self.dtype))
@@ -61,12 +70,13 @@ class Bottleneck(nn.Module):
     out_ch: int
     width: float = 1.0
     dtype: jnp.dtype = jnp.float32
+    bn_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.width * x.shape[-1])
-        y = CBL(c_, 1, 1, 0, self.dtype, name="c1")(x, train)
-        y = CBL(self.out_ch, 3, 1, 1, self.dtype, name="c2")(y, train)
+        y = CBL(c_, 1, 1, 0, self.dtype, self.bn_axis, name="c1")(x, train)
+        y = CBL(self.out_ch, 3, 1, 1, self.dtype, self.bn_axis, name="c2")(y, train)
         return y + x
 
 
@@ -84,20 +94,25 @@ class C3(nn.Module):
     depth: int = 1
     backbone: bool = True
     dtype: jnp.dtype = jnp.float32
+    bn_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.width * x.shape[-1])
-        y = CBL(c_, 1, 1, 0, self.dtype, name="c1")(x, train)
+        y = CBL(c_, 1, 1, 0, self.dtype, self.bn_axis, name="c1")(x, train)
         for j in range(self.depth):
             if self.backbone:
-                y = Bottleneck(c_, 1.0, self.dtype, name=f"seq{j}")(y, train)
+                y = Bottleneck(c_, 1.0, self.dtype, self.bn_axis,
+                               name=f"seq{j}")(y, train)
             else:
-                y = CBL(c_, 1, 1, 0, self.dtype, name=f"seq{j}_a")(y, train)
-                y = CBL(c_, 3, 1, 1, self.dtype, name=f"seq{j}_b")(y, train)
-        skip = CBL(c_, 1, 1, 0, self.dtype, name="c_skipped")(x, train)
+                y = CBL(c_, 1, 1, 0, self.dtype, self.bn_axis,
+                        name=f"seq{j}_a")(y, train)
+                y = CBL(c_, 3, 1, 1, self.dtype, self.bn_axis,
+                        name=f"seq{j}_b")(y, train)
+        skip = CBL(c_, 1, 1, 0, self.dtype, self.bn_axis, name="c_skipped")(x, train)
         out = jnp.concatenate([y, skip], axis=-1)
-        return CBL(self.out_ch, 1, 1, 0, self.dtype, name="c_out")(out, train)
+        return CBL(self.out_ch, 1, 1, 0, self.dtype, self.bn_axis,
+                   name="c_out")(out, train)
 
 
 class SPPF(nn.Module):
@@ -105,16 +120,18 @@ class SPPF(nn.Module):
 
     out_ch: int
     dtype: jnp.dtype = jnp.float32
+    bn_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = x.shape[-1] // 2
-        x = CBL(c_, 1, 1, 0, self.dtype, name="c1")(x, train)
+        x = CBL(c_, 1, 1, 0, self.dtype, self.bn_axis, name="c1")(x, train)
         p1 = nn.max_pool(x, (5, 5), strides=(1, 1), padding=((2, 2), (2, 2)))
         p2 = nn.max_pool(p1, (5, 5), strides=(1, 1), padding=((2, 2), (2, 2)))
         p3 = nn.max_pool(p2, (5, 5), strides=(1, 1), padding=((2, 2), (2, 2)))
         out = jnp.concatenate([x, p1, p2, p3], axis=-1)
-        return CBL(self.out_ch, 1, 1, 0, self.dtype, name="c_out")(out, train)
+        return CBL(self.out_ch, 1, 1, 0, self.dtype, self.bn_axis,
+                   name="c_out")(out, train)
 
 
 def upsample2x_nearest(x: jnp.ndarray) -> jnp.ndarray:

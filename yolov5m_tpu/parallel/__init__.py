@@ -1,0 +1,8 @@
+from yolov5m_tpu.parallel.dp import (
+    make_mesh,
+    make_dp_train_step,
+    replicate_state,
+    shard_batch,
+)
+
+__all__ = ["make_mesh", "make_dp_train_step", "replicate_state", "shard_batch"]

@@ -1,0 +1,80 @@
+"""Data-parallel training over a jax.sharding.Mesh.
+
+The reference is strictly single-device (no torch.distributed / NCCL / DP
+anywhere — SURVEY.md §2); this module adds the multi-chip data-parallel
+configuration the north star requires (BASELINE.json configs[4]):
+
+  * 1-D device mesh with axis "data";
+  * per-device batch shards (batch axis sharded over "data");
+  * replicated TrainState; gradients psum-allreduced over ICI inside the
+    shard_mapped train step (see train/trainer.py pmean_axis);
+  * BatchNorm runs on local per-device statistics (matching the reference's
+    single-device BN semantics at equal per-device batch), with running
+    buffers pmean-synced so replicas never diverge.
+
+Multi-host: call jax.distributed.initialize() before make_mesh and the same
+code runs over DCN+ICI; collectives are laid out by XLA along the mesh.
+
+TP/PP/SP/EP are intentionally out of scope for this workload: a CNN detector
+has no sequence dimension and fits comfortably in one chip's HBM
+(~21M params); DP is the complete parallelism surface (SURVEY.md §2).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from yolov5m_tpu.train.trainer import TrainState, make_train_step
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def replicate_state(state: TrainState, mesh: Mesh) -> TrainState:
+    """Place the TrainState fully-replicated on every mesh device."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), state)
+
+
+def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
+    """Shard the leading (batch) axis of every array over the mesh."""
+    sharding = NamedSharding(mesh, P(axis))
+    return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+
+def make_dp_train_step(model, loss_fn, optimizer, mesh: Mesh,
+                       accumulate: int = 1, axis: str = "data") -> Callable:
+    """shard_mapped + jitted DP train step.
+
+    The global batch must divide the mesh size. Losses/grads are psum-summed
+    over devices, so the update equals a single-device step on the full
+    global batch (the reference's accumulation semantics, scaled out).
+    """
+    step_fn = make_train_step(model, loss_fn, optimizer,
+                              accumulate=accumulate, pmean_axis=axis)
+
+    # check_vma=True (replication tracking) is REQUIRED for correct AD here:
+    # without it the transpose of the loss's internal psums conservatively
+    # psums the cotangents too, inflating gradients by the mesh size.
+    sharded = shard_map(
+        step_fn,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=True,
+    )
+
+    @jax.jit
+    def dp_step(state: TrainState, image, labels, mask):
+        return sharded(state, image, labels, mask)
+
+    return dp_step

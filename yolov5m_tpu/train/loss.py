@@ -24,7 +24,7 @@ semantics of ignore.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -69,9 +69,27 @@ def bce_logits(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
 
 
-def _masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+def _masked_mean(x: jnp.ndarray, mask: jnp.ndarray,
+                 axis_name=None) -> jnp.ndarray:
+    """Mean of x over mask-selected elements; with axis_name, the mean is
+    GLOBAL across the mesh axis (numerator and denominator psum-reduced
+    separately, so DP reproduces the single-device global-batch mean exactly
+    — per-shard means do not commute with psum when counts differ)."""
     m = mask.astype(x.dtype)
-    return jnp.sum(x * m) / jnp.maximum(jnp.sum(m), 1.0)
+    num = jnp.sum(x * m)
+    den = jnp.sum(m)
+    if axis_name is not None:
+        num = jax.lax.psum(num, axis_name)
+        den = jax.lax.psum(den, axis_name)
+    return num / jnp.maximum(den, 1.0)
+
+
+def _global_mean(x: jnp.ndarray, axis_name=None) -> jnp.ndarray:
+    """Plain mean, pmean-extended across the mesh axis (equal shard sizes)."""
+    r = jnp.mean(x)
+    if axis_name is not None:
+        r = jax.lax.pmean(r, axis_name)
+    return r
 
 
 class YoloLoss:
@@ -80,12 +98,21 @@ class YoloLoss:
     """
 
     def __init__(self, lc: LossConfig, anchors_px, kind: str = "custom",
-                 strides: Sequence[int] = (8, 16, 32)):
+                 strides: Sequence[int] = (8, 16, 32),
+                 axis_name: Optional[str] = None):
         assert kind in ("custom", "ultralytics")
         self.lc = lc
         self.anchors_px = jnp.asarray(anchors_px, jnp.float32)  # (nl, na, 2)
         self.kind = kind
         self.strides = tuple(strides)
+        # mesh axis for data-parallel GLOBAL loss (see parallel/dp.py): when
+        # set, every reduction spans the whole global batch and the returned
+        # loss equals the single-device loss on that batch.
+        self.axis_name = axis_name
+
+    def with_axis(self, axis_name: Optional[str]) -> "YoloLoss":
+        return YoloLoss(self.lc, self.anchors_px, self.kind, self.strides,
+                        axis_name)
 
     def __call__(self, preds: Sequence[jnp.ndarray], labels: jnp.ndarray,
                  label_mask: jnp.ndarray) -> Tuple[jnp.ndarray, dict]:
@@ -106,6 +133,9 @@ class YoloLoss:
         targets = build_grid_targets(labels, label_mask, self.anchors_px,
                                      grid_sizes, lc.ignore_iou_thresh)
         bs = preds[0].shape[0]
+        if self.axis_name is not None:
+            bs = bs * jax.lax.axis_size(self.axis_name)
+        ax = self.axis_name
         lbox = lobj = lcls = 0.0
         for s, (p, t) in enumerate(zip(preds, targets)):
             p = p.astype(jnp.float32)
@@ -117,18 +147,18 @@ class YoloLoss:
             pwh = (jax.nn.sigmoid(p[..., 2:4]) * 2.0) ** 2 * anchors[None, :, None, None, :]
             pbox = jnp.concatenate([pxy, pwh], axis=-1)
             iou = box_iou(pbox, t[..., 0:4], giou=True)[..., 0]   # (bs,na,ny,nx)
-            lbox = lbox + _masked_mean(1.0 - iou, pos)
+            lbox = lbox + _masked_mean(1.0 - iou, pos, ax)
 
             # objectness: positives weighted by detached clamped IoU
             # (reference loss.py:217-220); ignores masked out (see module doc)
             tobj = jnp.where(pos, jnp.clip(jax.lax.stop_gradient(iou), 0.0), 0.0)
             obj_bce = bce_logits(p[..., 4], tobj)
-            lobj = lobj + _masked_mean(obj_bce, ~ign) * BALANCE[s]
+            lobj = lobj + _masked_mean(obj_bce, ~ign, ax) * BALANCE[s]
 
             tcls = jax.nn.one_hot(t[..., 5].astype(jnp.int32), lc.nc)
             cls_bce = bce_logits(p[..., 5:], tcls)
             lcls = lcls + _masked_mean(cls_bce, pos[..., None] &
-                                       jnp.ones_like(cls_bce, jnp.bool_))
+                                       jnp.ones_like(cls_bce, jnp.bool_), ax)
 
         total = (lc.lambda_box * lbox + lc.lambda_obj * lobj
                  + lc.lambda_class * lcls) * bs
@@ -144,6 +174,9 @@ class YoloLoss:
         per_scale = build_flat_targets(labels, label_mask, self.anchors_px,
                                        grid_sizes, lc.anchor_t, self.strides)
         bs = preds[0].shape[0]
+        if self.axis_name is not None:
+            bs = bs * jax.lax.axis_size(self.axis_name)
+        ax = self.axis_name
         lbox = lobj = lcls = 0.0
         for s, (p, m) in enumerate(zip(preds, per_scale)):
             p = p.astype(jnp.float32)
@@ -154,7 +187,7 @@ class YoloLoss:
             pwh = (jax.nn.sigmoid(rows[..., 2:4]) * 2.0) ** 2 * m["anchor_wh"]
             pbox = jnp.concatenate([pxy, pwh], axis=-1)
             iou = box_iou(pbox, m["tbox"], giou=True)[..., 0]  # (M,)
-            lbox = lbox + _masked_mean(1.0 - iou, valid)
+            lbox = lbox + _masked_mean(1.0 - iou, valid, ax)
 
             # scatter detached IoU into the obj target grid; overlapping
             # matches resolve by max (reference's last-write order at
@@ -163,13 +196,14 @@ class YoloLoss:
             tobj = jnp.zeros(p.shape[:4], jnp.float32)
             tobj = tobj.at[m["b"], m["a"], m["gj"], m["gi"]].max(
                 jnp.where(valid, iou_d, 0.0))
-            lobj = lobj + jnp.mean(bce_logits(p[..., 4], tobj)) * BALANCE[s]
+            lobj = lobj + _global_mean(bce_logits(p[..., 4], tobj), ax) * BALANCE[s]
 
             if lc.nc > 1:
                 tcls = jax.nn.one_hot(m["tcls"], lc.nc)
                 cls_bce = bce_logits(rows[..., 5:], tcls)
                 lcls = lcls + _masked_mean(
-                    cls_bce, valid[:, None] & jnp.ones_like(cls_bce, jnp.bool_))
+                    cls_bce, valid[:, None] & jnp.ones_like(cls_bce, jnp.bool_),
+                    ax)
 
         total = (lc.lambda_box * lbox + lc.lambda_obj * lobj
                  + lc.lambda_class * lcls) * bs

@@ -1,0 +1,151 @@
+"""Jitted training step: forward + loss + grad + Adam, with gradient
+accumulation, global-norm clipping, and EMA — all inside one XLA graph.
+
+Capability parity with the reference train loop (reference
+utils/training_utils.py:81-132):
+  * Adam(lr=5e-4, weight_decay=5e-4) — torch-style coupled L2
+    (reference train.py:61);
+  * gradient accumulation to a nominal batch of 64: grads are *summed* over
+    `accumulate` micro-batches and applied once (training_utils.py:87-90,
+    116-122; the reference's loss is already scaled by bs, ours too);
+  * grad clipping max_norm=10.0 before the optimizer (training_utils.py:118).
+
+TPU-native differences: no GradScaler — bf16 needs no loss scaling (the
+reference's AMP scaler at train.py:56 is CUDA-coupled); the whole step,
+including target assignment, is one compiled graph; EMA of params is
+maintained on-device (Ultralytics-style ramped decay), which the reference
+lacks but the north-star config requires (BASELINE.json configs[4]).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from yolov5m_tpu.config import Config
+from yolov5m_tpu.train.loss import YoloLoss
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray                    # micro-batch counter
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    accum_grads: Any                     # summed grads since last opt step
+    ema_params: Any
+
+    @property
+    def eval_params(self):
+        return self.ema_params
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    """clip(10.0) → +wd·θ (torch Adam coupled L2) → Adam → -lr."""
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.add_decayed_weights(cfg.weight_decay),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.scale(-cfg.learning_rate),
+    )
+
+
+def create_train_state(model, cfg: Config, rng, input_hw: Tuple[int, int],
+                       optimizer: Optional[optax.GradientTransformation] = None
+                       ) -> TrainState:
+    variables = model.init(rng, jnp.zeros((1, *input_hw, 3), jnp.float32))
+    optimizer = optimizer or make_optimizer(cfg)
+    params = variables["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables["batch_stats"],
+        opt_state=optimizer.init(params),
+        accum_grads=jax.tree.map(jnp.zeros_like, params),
+        ema_params=params,
+    )
+
+
+def _ema_decay(step: jnp.ndarray, base: float = 0.9999, tau: float = 2000.0):
+    """Ultralytics-style ramped EMA decay: base * (1 - exp(-step/tau))."""
+    return base * (1.0 - jnp.exp(-step.astype(jnp.float32) / tau))
+
+
+def make_train_step(
+    model,
+    loss_fn: YoloLoss,
+    optimizer: optax.GradientTransformation,
+    accumulate: int = 1,
+    pmean_axis: Optional[str] = None,
+) -> Callable:
+    """Build the train-step function (jit it, or shard_map it for DP).
+
+    Args:
+      accumulate: opt step every N micro-batches (N = round(64/bs), reference
+        training_utils.py:89).
+      pmean_axis: if set, grads are psum-reduced and batch_stats pmean-reduced
+        over this mesh axis (the DP path; see parallel/dp.py).
+    """
+
+    if pmean_axis is not None and loss_fn.axis_name != pmean_axis:
+        loss_fn = loss_fn.with_axis(pmean_axis)
+
+    def train_step(state: TrainState, image, labels, mask):
+        def loss_of(params):
+            preds, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                image, train=True, mutable=["batch_stats"])
+            total, parts = loss_fn(preds, labels, mask)
+            return total, (parts, mut["batch_stats"])
+
+        (total, (parts, new_stats)), grads = \
+            jax.value_and_grad(loss_of, has_aux=True)(state.params)
+
+        if pmean_axis is not None:
+            # The loss is GLOBAL (internal psums over the mesh axis, see
+            # YoloLoss.axis_name), and jax.grad's transpose of psum inside
+            # shard_map already delivers the full global gradient on every
+            # device — no further reduction needed (an extra psum would
+            # multiply grads by the mesh size; verified empirically).
+            # BN running buffers: average so replicas stay bitwise in sync
+            # (forward stats are local unless the model sets bn_axis=sync-BN).
+            new_stats = jax.lax.pmean(new_stats, pmean_axis)
+
+        accum = jax.tree.map(jnp.add, state.accum_grads, grads)
+        step = state.step + 1
+        do_update = (step % accumulate) == 0
+
+        def apply_update(_):
+            updates, new_opt = optimizer.update(accum, state.opt_state,
+                                                state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            d = _ema_decay(step // accumulate)
+            new_ema = jax.tree.map(
+                lambda e, p: e * d + p * (1.0 - d), state.ema_params, new_params)
+            zeroed = jax.tree.map(jnp.zeros_like, accum)
+            return new_params, new_opt, zeroed, new_ema
+
+        def keep(_):
+            return state.params, state.opt_state, accum, state.ema_params
+
+        new_params, new_opt, new_accum, new_ema = jax.lax.cond(
+            do_update, apply_update, keep, None)
+
+        new_state = state.replace(
+            step=step, params=new_params, batch_stats=new_stats,
+            opt_state=new_opt, accum_grads=new_accum, ema_params=new_ema)
+
+        gnorm = optax.global_norm(grads)
+        metrics = {"loss": total, "grad_norm": gnorm, **parts}
+        return new_state, metrics
+
+    return train_step
+
+
+def accumulation_steps(batch_size: int, nominal: int = 64) -> int:
+    """max(round(nbs/bs), 1) — reference training_utils.py:89."""
+    return max(round(nominal / batch_size), 1)

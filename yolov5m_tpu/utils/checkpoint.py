@@ -1,0 +1,69 @@
+"""Pytree checkpointing with the reference's run layout.
+
+Parity surface (reference utils/utils.py:56-82, train.py:76-92):
+  * per-epoch files under SAVED_CHECKPOINT/{model_N}/checkpoint_epoch_{e}.*
+    (msgpack via flax.serialization instead of torch pickles);
+  * auto-incrementing run names model_1, model_2, …;
+  * resume finds the max epoch in the run folder.
+
+The checkpoint holds the full TrainState (params, batch_stats, optimizer
+state, EMA, step) so resume is exact — the reference only saves
+model+optimizer (utils/utils.py:56-62).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+CKPT_RE = re.compile(r"checkpoint_epoch_(\d+)\.msgpack$")
+
+
+def save_checkpoint(state: Any, folder_path: str, filename: str, epoch: int) -> str:
+    """Serialize a pytree to SAVED_CHECKPOINT-style layout. Returns the path."""
+    path = os.path.join(folder_path, filename)
+    os.makedirs(path, exist_ok=True)
+    # pull to host before serializing (works for sharded/replicated arrays)
+    host_state = jax.tree.map(np.asarray, state)
+    blob = serialization.to_bytes(host_state)
+    out = os.path.join(path, f"checkpoint_epoch_{epoch}.msgpack")
+    tmp = out + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, out)  # atomic: no torn checkpoints on preemption
+    return out
+
+
+def load_checkpoint(template: Any, folder_path: str, filename: str,
+                    epoch: int) -> Any:
+    """Restore a pytree saved by save_checkpoint into `template`'s structure."""
+    path = os.path.join(folder_path, filename, f"checkpoint_epoch_{epoch}.msgpack")
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
+def latest_epoch(folder_path: str, filename: str) -> Optional[int]:
+    """Max epoch with a checkpoint in the run folder (reference train.py:82)."""
+    run_dir = os.path.join(folder_path, filename)
+    if not os.path.isdir(run_dir):
+        return None
+    epochs = [int(m.group(1)) for f in os.listdir(run_dir)
+              if (m := CKPT_RE.search(f))]
+    return max(epochs) if epochs else None
+
+
+def next_run_name(folder_path: str) -> str:
+    """model_1 if none exist, else model_{max+1} (reference train.py:76-92)."""
+    if not os.path.isdir(folder_path):
+        return "model_1"
+    nums = []
+    for name in os.listdir(folder_path):
+        m = re.fullmatch(r"model_(\d+)", name)
+        if m:
+            nums.append(int(m.group(1)))
+    return f"model_{max(nums) + 1}" if nums else "model_1"
