@@ -43,6 +43,10 @@ def arg_parser():
     p.add_argument("--first_out", type=int, default=48)
     p.add_argument("--image_size", type=int, default=640)
     p.add_argument("--max_boxes", type=int, default=120)
+    p.add_argument("--multi_scale", type=str, default="",
+                   help="comma-separated multi-scale sizes (e.g. 512,576,640);"
+                        " static jit buckets replacing the reference's random"
+                        " per-batch resize; ignored with --rect")
     p.add_argument("--datasets_dir", type=str, default=None,
                    help="override the datasets root (default: ../datasets)")
     return p.parse_args()
@@ -128,9 +132,13 @@ def main(opt):
     logger = CSVLogger("train_eval_metrics", filename, resume=opt.resume) \
         if save_logs else None
 
+    ms_sizes = None
+    if getattr(opt, "multi_scale", "") and not opt.rect:
+        ms_sizes = [int(s) for s in opt.multi_scale.split(",")]
     train_loader, val_loader = get_loaders(
         root, opt.bs, rect_training=opt.rect, box_format=opt.box_format,
-        max_boxes=opt.max_boxes, default_size=opt.image_size)
+        max_boxes=opt.max_boxes, default_size=opt.image_size,
+        multi_scale_sizes=ms_sizes)
 
     loss_fn = YoloLoss(LossConfig.from_config(cfg), anchors_px,
                        kind="ultralytics" if opt.ultralytics_loss else "custom")

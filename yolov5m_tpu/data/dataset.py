@@ -230,13 +230,27 @@ class BatchLoader:
 
     def __init__(self, dataset: DetectionDataset, batch_size: int,
                  shuffle: bool = False, augment=None, seed: int = 0,
-                 drop_last: bool = False):
+                 drop_last: bool = False,
+                 size_buckets: Optional[Sequence[int]] = None):
+        """size_buckets: multi-scale training sizes. The reference resizes
+        every batch to a random stride-32 size in [320, 672) (reference
+        utils/training_utils.py:11-28) — unbounded dynamic shapes that would
+        force an XLA recompile per novel size. Here each batch samples from a
+        small static bucket set (one jit cache entry per size; SURVEY.md §7
+        hard part 3). Normalized labels are scale-invariant, so only the
+        image resizes. Ignored under rect training, like the reference
+        (training_utils.py:99)."""
         self.ds = dataset
         self.bs = batch_size
         self.shuffle = shuffle and not dataset.rect
         self.augment = augment
         self.rng = np.random.default_rng(seed)
         self.drop_last = drop_last
+        self.size_buckets = None
+        if size_buckets and not dataset.rect:
+            assert all(s % 32 == 0 for s in size_buckets), \
+                "multi-scale sizes must be stride-32 aligned"
+            self.size_buckets = tuple(size_buckets)
 
     def __len__(self) -> int:
         n = len(self.ds)
@@ -256,6 +270,9 @@ class BatchLoader:
 
     def _make_batch(self, idxs: np.ndarray, batch_idx: int) -> dict:
         hw = self.ds.item_shape(int(idxs[0]))
+        if self.size_buckets is not None:
+            s = int(self.rng.choice(self.size_buckets))
+            hw = (s, s)
         nb = self.ds.max_boxes
         imgs = np.zeros((len(idxs), hw[0], hw[1], 3), np.float32)
         labels = np.zeros((len(idxs), nb, 5), np.float32)

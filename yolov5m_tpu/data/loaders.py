@@ -19,6 +19,7 @@ def get_loaders(
     max_boxes: int = 120,
     default_size: int = 640,
     seed: int = 0,
+    multi_scale_sizes=None,
 ) -> Tuple[BatchLoader, BatchLoader]:
     """Build train/val BatchLoaders over the standard directory layout."""
     train_ds = DetectionDataset(
@@ -34,7 +35,7 @@ def get_loaders(
         train_ds, batch_size,
         shuffle=not rect_training,                    # training_utils.py:57
         augment=TrainAugment(seed=seed) if augment else None,
-        seed=seed, drop_last=True)
+        seed=seed, drop_last=True, size_buckets=multi_scale_sizes)
     val_loader = BatchLoader(val_ds, batch_size, shuffle=False, augment=None,
                              seed=seed, drop_last=False)
     return train_loader, val_loader

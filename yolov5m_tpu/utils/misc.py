@@ -1,0 +1,73 @@
+"""Miscellaneous utilities with reference parity.
+
+seed_everything — reference utils/utils.py:182-189 (JAX PRNG is explicit, so
+this seeds the host-side numpy/python RNGs the data pipeline uses and returns
+a jax PRNG key).
+profile_trace — jax.profiler wrapper, the TPU-native upgrade of the
+reference's ad-hoc time.time() spans (reference model.py:254-256; SURVEY §5).
+nan_debug — toggles jax NaN checking (the reference has no sanitizer story;
+this is the functional-JAX analog, SURVEY §5).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+import random
+import time
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+def seed_everything(seed: int = 42):
+    """Seed host RNGs and return a jax PRNGKey for device-side randomness."""
+    os.environ["PYTHONHASHSEED"] = str(seed)
+    random.seed(seed)
+    np.random.seed(seed)
+    import jax
+    return jax.random.PRNGKey(seed)
+
+
+@contextlib.contextmanager
+def profile_trace(logdir: Optional[str] = None) -> Iterator[None]:
+    """Capture a jax.profiler trace (view in TensorBoard / xprof). If logdir
+    is None, falls back to a timed span printed to stdout."""
+    import jax
+
+    if logdir:
+        jax.profiler.start_trace(logdir)
+        try:
+            yield
+        finally:
+            jax.profiler.stop_trace()
+    else:
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            print(f"[profile] span took {time.perf_counter() - t0:.3f}s")
+
+
+def nan_debug(enable: bool = True) -> None:
+    """Turn on jax NaN checking (every op output checked; slow — debug only)."""
+    import jax
+    jax.config.update("jax_debug_nans", enable)
+
+
+class StepTimer:
+    """Per-step wall-clock timing with EMA, for train-loop observability."""
+
+    def __init__(self, alpha: float = 0.1):
+        self.alpha = alpha
+        self.ema: Optional[float] = None
+        self._t0: Optional[float] = None
+
+    def start(self) -> None:
+        self._t0 = time.perf_counter()
+
+    def stop(self) -> float:
+        dt = time.perf_counter() - self._t0
+        self.ema = dt if self.ema is None else \
+            self.alpha * dt + (1 - self.alpha) * self.ema
+        return dt
