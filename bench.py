@@ -20,13 +20,12 @@ import jax.numpy as jnp
 from yolov5m_tpu.config import Config
 from yolov5m_tpu.models import YOLOv5
 from yolov5m_tpu.models.yolo import normalized_anchors
-from yolov5m_tpu.ops.decode import decode_predictions
-from yolov5m_tpu.ops.nms import batched_nms
+from yolov5m_tpu.ops.postprocess import fused_detect
 
 A100_TARGET_IMG_S = 600.0  # 2x ~300 img/s (plain-torch A100 yolov5m batch inference)
 
 
-def main(batch_size: int = 32, iters: int = 20, warmup: int = 3) -> None:
+def main(batch_size: int = 64, iters: int = 24, warmup: int = 1) -> None:
     cfg = Config()
     model = YOLOv5(first_out=cfg.first_out, nc=cfg.nc, dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
@@ -36,27 +35,33 @@ def main(batch_size: int = 32, iters: int = 20, warmup: int = 3) -> None:
     @jax.jit
     def infer(v, x):
         preds = model.apply(v, x, train=False)
-        rows = decode_predictions(preds, anchors)
-        return batched_nms(rows, cfg.nms_iou_thresh, 0.25,
-                           cfg.max_detections, cfg.pre_nms_topk)
+        return fused_detect(preds, anchors, conf_threshold=0.25,
+                            iou_threshold=cfg.nms_iou_thresh,
+                            max_detections=cfg.max_detections,
+                            pre_nms_topk=cfg.pre_nms_topk)
 
-    x = jnp.asarray(
-        np.random.default_rng(0).uniform(0, 1, (batch_size, 640, 640, 3))
-        .astype(np.float32))
+    # distinct device-resident batches: repeated identical executions can be
+    # result-cached by remote-execution relays, inflating throughput.
+    # Generated on device — host→device uploads of many 640³ batches are
+    # slow over tunneled transports.
+    gen = jax.jit(lambda k: jax.random.uniform(
+        k, (batch_size, 640, 640, 3), jnp.float32))
+    xs = [gen(jax.random.PRNGKey(i)) for i in range(8)]
+    jax.block_until_ready(xs)
 
-    for _ in range(warmup):
-        det, valid = infer(variables, x)
+    for i in range(warmup * len(xs)):
+        det, valid = infer(variables, xs[i % len(xs)])
     det.block_until_ready()
 
     t0 = time.perf_counter()
-    for _ in range(iters):
-        det, valid = infer(variables, x)
+    for i in range(iters):
+        det, valid = infer(variables, xs[i % len(xs)])
     det.block_until_ready()
     dt = time.perf_counter() - t0
 
     img_s = batch_size * iters / dt
     print(json.dumps({
-        "metric": "640x640 images/sec/chip incl. NMS (bs=%d, bf16)" % batch_size,
+        "metric": "640x640 images/sec/chip incl. NMS (bs=%d, bf16, fused postprocess)" % batch_size,
         "value": round(img_s, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_s / A100_TARGET_IMG_S, 3),

@@ -148,3 +148,17 @@ def test_augment_preserves_empty_labels():
 def test_native_library_builds():
     # informational: native path should build in this image (g++ present)
     assert native_available(), "native preprocess library failed to build"
+
+
+def test_prefetch_loader_matches_sync(tiny_dataset):
+    """Prefetching loader yields identical batches to the synchronous path."""
+    from yolov5m_tpu.data.augment import TrainAugment
+    ds = DetectionDataset(tiny_dataset, train=True, max_boxes=16)
+    sync = BatchLoader(ds, batch_size=4, shuffle=True, seed=5,
+                       augment=TrainAugment(seed=1))
+    pref = BatchLoader(ds, batch_size=4, shuffle=True, seed=5,
+                       augment=TrainAugment(seed=1), num_workers=4)
+    for a, b in zip(sync, pref):
+        np.testing.assert_array_equal(a["image"], b["image"])
+        np.testing.assert_array_equal(a["labels"], b["labels"])
+        np.testing.assert_array_equal(a["mask"], b["mask"])

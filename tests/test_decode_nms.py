@@ -161,3 +161,21 @@ def test_nms_batched_consistency(rng):
     for i in range(4):
         out_s, valid_s = batched_nms(jnp.asarray(batch[i][None]), 0.6, 0.01, 300, 64)
         np.testing.assert_allclose(np.asarray(out_b[i]), np.asarray(out_s[0]), rtol=1e-6)
+
+
+def test_nms_pallas_backend_matches_xla(rng):
+    """Pallas greedy-suppression kernel (interpret mode on CPU) must produce
+    identical keep decisions to the XLA matrix backend."""
+    batch = np.stack([_random_rows(rng, 256) for _ in range(3)])
+    out_x, valid_x = batched_nms(jnp.asarray(batch), 0.55, 0.1, 300, 128)
+    out_p, valid_p = batched_nms(jnp.asarray(batch), 0.55, 0.1, 300, 128,
+                                 backend="pallas", interpret=True)
+    np.testing.assert_array_equal(np.asarray(valid_x), np.asarray(valid_p))
+    np.testing.assert_allclose(np.asarray(out_x), np.asarray(out_p), rtol=1e-6)
+
+
+def test_nms_pallas_empty_and_cap(rng):
+    rows = np.zeros((1, 128, 6), np.float32)
+    out, valid = batched_nms(jnp.asarray(rows), 0.5, 0.25, 300, 128,
+                             backend="pallas", interpret=True)
+    assert int(np.asarray(valid).sum()) == 0

@@ -68,8 +68,7 @@ def main(opt):
     from yolov5m_tpu.data.native import letterbox
     from yolov5m_tpu.models import YOLOv5
     from yolov5m_tpu.models.yolo import normalized_anchors
-    from yolov5m_tpu.ops.decode import decode_predictions
-    from yolov5m_tpu.ops.nms import batched_nms
+    from yolov5m_tpu.ops.postprocess import fused_detect
     from yolov5m_tpu.utils.plotting import plot_image
 
     if opt.labels:
@@ -89,9 +88,10 @@ def main(opt):
     @jax.jit
     def infer(v, x):
         preds = model.apply(v, x, train=False)
-        rows = decode_predictions(preds, anchors_norm)
-        return batched_nms(rows, opt.iou, opt.conf, cfg.max_detections,
-                           cfg.pre_nms_topk)
+        return fused_detect(preds, anchors_norm, conf_threshold=opt.conf,
+                            iou_threshold=opt.iou,
+                            max_detections=cfg.max_detections,
+                            pre_nms_topk=cfg.pre_nms_topk)
 
     t0 = time.perf_counter()
     det, valid = infer(variables, x)

@@ -138,7 +138,7 @@ def main(opt):
     train_loader, val_loader = get_loaders(
         root, opt.bs, rect_training=opt.rect, box_format=opt.box_format,
         max_boxes=opt.max_boxes, default_size=opt.image_size,
-        multi_scale_sizes=ms_sizes)
+        multi_scale_sizes=ms_sizes, num_workers=opt.nw)
 
     loss_fn = YoloLoss(LossConfig.from_config(cfg), anchors_px,
                        kind="ultralytics" if opt.ultralytics_loss else "custom")

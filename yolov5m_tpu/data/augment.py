@@ -64,8 +64,11 @@ class TrainAugment:
         self.channel_shuffle_p = channel_shuffle_p
         self.transpose_batch_parity = transpose_batch_parity
 
-    def __call__(self, img: np.ndarray, labels: np.ndarray, batch_idx: int = 0):
-        r = self.rng
+    def __call__(self, img: np.ndarray, labels: np.ndarray, batch_idx: int = 0,
+                 rng: np.random.Generator = None):
+        # rng: pass a per-item generator when calling from worker threads —
+        # the shared self.rng is not thread-safe under batch prefetch
+        r = rng if rng is not None else self.rng
         labels = labels.copy()
         cls = labels[:, 0] if len(labels) else np.zeros((0,))
         corners = _boxes_to_corners(labels) if len(labels) else np.zeros((0, 4))

@@ -231,7 +231,8 @@ class BatchLoader:
     def __init__(self, dataset: DetectionDataset, batch_size: int,
                  shuffle: bool = False, augment=None, seed: int = 0,
                  drop_last: bool = False,
-                 size_buckets: Optional[Sequence[int]] = None):
+                 size_buckets: Optional[Sequence[int]] = None,
+                 num_workers: int = 0, prefetch_depth: int = 2):
         """size_buckets: multi-scale training sizes. The reference resizes
         every batch to a random stride-32 size in [320, 672) (reference
         utils/training_utils.py:11-28) — unbounded dynamic shapes that would
@@ -251,6 +252,13 @@ class BatchLoader:
             assert all(s % 32 == 0 for s in size_buckets), \
                 "multi-scale sizes must be stride-32 aligned"
             self.size_buckets = tuple(size_buckets)
+        # host-side parallelism: worker threads load/decode/augment items and
+        # a prefetch thread builds batches ahead of the accelerator (the
+        # reference's DataLoader num_workers analog, training_utils.py:59-75;
+        # threads suffice — PIL decode and the native resize release the GIL)
+        self.num_workers = num_workers
+        self.prefetch_depth = prefetch_depth if num_workers > 0 else 0
+        self._pool = None
 
     def __len__(self) -> int:
         n = len(self.ds)
@@ -260,18 +268,48 @@ class BatchLoader:
         order = np.arange(len(self.ds))
         if self.shuffle:
             self.rng.shuffle(order)
+        batches = []
         for start in range(0, len(order), self.bs):
             idxs = order[start:start + self.bs]
             if len(idxs) < self.bs:
                 if self.drop_last:
-                    return
+                    break
                 idxs = np.concatenate([idxs, order[: self.bs - len(idxs)]])
-            yield self._make_batch(idxs, start // self.bs)
+            batches.append((idxs, start // self.bs))
+
+        if self.prefetch_depth <= 0:
+            for idxs, bi in batches:
+                yield self._make_batch(idxs, bi)
+            return
+
+        # pipeline: build up to prefetch_depth batches ahead on a thread pool
+        import concurrent.futures as cf
+        if self._pool is None:
+            self._pool = cf.ThreadPoolExecutor(max_workers=max(self.num_workers, 1))
+        pending = []
+        it = iter(batches)
+        try:
+            for _ in range(self.prefetch_depth):
+                nxt = next(it, None)
+                if nxt is None:
+                    break
+                pending.append(self._pool.submit(self._make_batch, *nxt))
+            while pending:
+                fut = pending.pop(0)
+                nxt = next(it, None)
+                if nxt is not None:
+                    pending.append(self._pool.submit(self._make_batch, *nxt))
+                yield fut.result()
+        finally:
+            for fut in pending:
+                fut.cancel()
 
     def _make_batch(self, idxs: np.ndarray, batch_idx: int) -> dict:
         hw = self.ds.item_shape(int(idxs[0]))
         if self.size_buckets is not None:
-            s = int(self.rng.choice(self.size_buckets))
+            # deterministic per-batch choice (thread-safe under prefetch)
+            s = int(np.random.default_rng(batch_idx * 7919 + 13)
+                    .choice(self.size_buckets))
             hw = (s, s)
         nb = self.ds.max_boxes
         imgs = np.zeros((len(idxs), hw[0], hw[1], 3), np.float32)
@@ -280,7 +318,11 @@ class BatchLoader:
         for k, idx in enumerate(idxs):
             img, lab = self.ds.load_item(int(idx), target_hw=hw)
             if self.augment is not None:
-                img, lab = self.augment(img, lab, batch_idx=batch_idx)
+                # per-item deterministic rng: thread-safe under prefetch
+                item_rng = np.random.default_rng(
+                    (hash((batch_idx, k)) & 0x7FFFFFFF))
+                img, lab = self.augment(img, lab, batch_idx=batch_idx,
+                                        rng=item_rng)
             n = min(len(lab), nb)
             imgs[k] = img
             if n:

@@ -20,6 +20,7 @@ def get_loaders(
     default_size: int = 640,
     seed: int = 0,
     multi_scale_sizes=None,
+    num_workers: int = 0,
 ) -> Tuple[BatchLoader, BatchLoader]:
     """Build train/val BatchLoaders over the standard directory layout."""
     train_ds = DetectionDataset(
@@ -35,7 +36,9 @@ def get_loaders(
         train_ds, batch_size,
         shuffle=not rect_training,                    # training_utils.py:57
         augment=TrainAugment(seed=seed) if augment else None,
-        seed=seed, drop_last=True, size_buckets=multi_scale_sizes)
+        seed=seed, drop_last=True, size_buckets=multi_scale_sizes,
+        num_workers=num_workers)
     val_loader = BatchLoader(val_ds, batch_size, shuffle=False, augment=None,
-                             seed=seed, drop_last=False)
+                             seed=seed, drop_last=False,
+                             num_workers=num_workers)
     return train_loader, val_loader

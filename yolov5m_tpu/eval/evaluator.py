@@ -28,8 +28,7 @@ import numpy as np
 from yolov5m_tpu.config import Config
 from yolov5m_tpu.eval.metrics import MeanAveragePrecision
 from yolov5m_tpu.ops.boxes import xywhn_to_xyxy
-from yolov5m_tpu.ops.decode import decode_predictions
-from yolov5m_tpu.ops.nms import batched_nms
+from yolov5m_tpu.ops.postprocess import fused_detect
 from yolov5m_tpu.train.targets import build_grid_targets
 
 
@@ -53,11 +52,13 @@ class Evaluator:
         def eval_batch(variables, image, labels, mask):
             preds = self.model.apply(variables, image, train=False)
 
-            # --- decode + NMS (fixed shape) ---
-            rows = decode_predictions(preds, self.anchors_norm)
-            det, det_valid = batched_nms(
-                rows, cfg.nms_iou_thresh, cfg.conf_threshold,
-                cfg.max_detections, cfg.pre_nms_topk)
+            # --- fused gate+decode+NMS (fixed shape) ---
+            det, det_valid = fused_detect(
+                preds, self.anchors_norm,
+                conf_threshold=cfg.conf_threshold,
+                iou_threshold=cfg.nms_iou_thresh,
+                max_detections=cfg.max_detections,
+                pre_nms_topk=cfg.pre_nms_topk)
 
             # --- class / objectness accuracy vs grid targets ---
             grid_sizes = [(p.shape[2], p.shape[3]) for p in preds]
