@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from yolov5m_tpu.config import Config
 from yolov5m_tpu.models import YOLOv5
+from yolov5m_tpu.models.fuse import fold_batchnorm
 from yolov5m_tpu.models.yolo import normalized_anchors
 from yolov5m_tpu.ops.postprocess import fused_detect
 
@@ -27,9 +28,12 @@ A100_TARGET_IMG_S = 600.0  # 2x ~300 img/s (plain-torch A100 yolov5m batch infer
 
 def main(batch_size: int = 64, iters: int = 24, warmup: int = 1) -> None:
     cfg = Config()
-    model = YOLOv5(first_out=cfg.first_out, nc=cfg.nc, dtype=jnp.bfloat16)
+    base = YOLOv5(first_out=cfg.first_out, nc=cfg.nc, dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
-    variables = model.init(rng, jnp.zeros((1, 640, 640, 3), jnp.float32))
+    variables = fold_batchnorm(
+        base.init(rng, jnp.zeros((1, 640, 640, 3), jnp.float32)))
+    model = YOLOv5(first_out=cfg.first_out, nc=cfg.nc, dtype=jnp.bfloat16,
+                   fused=True)
     anchors = jnp.asarray(normalized_anchors())
 
     @jax.jit

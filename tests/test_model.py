@@ -117,3 +117,24 @@ def test_bf16_compute_close_to_fp32(rng):
         assert np.asarray(a).dtype == np.float32
         # logits: loose tolerance for bf16 accumulation differences
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0.15)
+
+
+def test_bn_folding_matches_unfused(rng):
+    """Fused (BN-folded) inference must match the standard eval forward."""
+    from yolov5m_tpu.models.fuse import fold_batchnorm
+
+    nc, hw = 4, 64
+    model, variables = _init_model(first_out=8, nc=nc, hw=hw)
+    # non-trivial BN stats
+    sd = _random_torch_sd(variables, rng)
+    variables = convert_torch_state_dict(sd, variables)
+
+    fused_model = YOLOv5(first_out=8, nc=nc, dtype=jnp.float32, fused=True)
+    fused_vars = fold_batchnorm(variables)
+
+    x = jnp.asarray(rng.uniform(0, 1, (2, hw, hw, 3)).astype(np.float32))
+    ref = model.apply(variables, x)
+    got = fused_model.apply(fused_vars, x)
+    for a, b in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

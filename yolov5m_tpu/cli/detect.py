@@ -23,7 +23,10 @@ def arg_parser():
                    help="msgpack checkpoint (full TrainState or bare variables)")
     p.add_argument("--weights", type=str, default=None,
                    help="npz of torch-layout weights (alternative to --checkpoint)")
-    p.add_argument("--img", type=str, required=True)
+    p.add_argument("--img", type=str, default=None)
+    p.add_argument("--img_dir", type=str, default=None,
+                   help="pick a random image from this directory when --img "
+                        "is not given (reference detect.py:38-40 behavior)")
     p.add_argument("--nc", type=int, default=2, help="number of classes (FLIR=2)")
     p.add_argument("--labels", type=str, default=None,
                    help="comma-separated class names; default FLIR or COCO by nc")
@@ -33,6 +36,8 @@ def arg_parser():
     p.add_argument("--iou", type=float, default=0.45)
     p.add_argument("--save_pred", action="store_true",
                    help="save annotated image under detections_exp/")
+    p.add_argument("--fuse", action="store_true",
+                   help="fold BatchNorm into convs for inference")
     p.add_argument("--out", type=str, default="detections_exp")
     return p.parse_args()
 
@@ -79,9 +84,24 @@ def main(opt):
     cfg = Config(first_out=opt.first_out, nc=opt.nc, image_size=opt.image_size)
     model = YOLOv5(first_out=cfg.first_out, nc=cfg.nc, dtype=jnp.bfloat16)
     variables = load_variables(opt, model, jnp)
+    if getattr(opt, "fuse", False):
+        from yolov5m_tpu.models.fuse import fold_batchnorm
+        variables = fold_batchnorm(variables)
+        model = YOLOv5(first_out=cfg.first_out, nc=cfg.nc,
+                       dtype=jnp.bfloat16, fused=True)
     anchors_norm = jnp.asarray(normalized_anchors())
 
-    raw = np.asarray(Image.open(opt.img).convert("RGB"))
+    img_path = opt.img
+    if img_path is None:
+        import random
+        assert getattr(opt, "img_dir", None), "give --img or --img_dir"
+        img_path = os.path.join(opt.img_dir, random.choice(sorted(
+            f for f in os.listdir(opt.img_dir)
+            if f.lower().endswith((".jpg", ".jpeg", ".png")))))
+        print(f"random image: {img_path}")
+    opt.img = img_path
+
+    raw = np.asarray(Image.open(img_path).convert("RGB"))
     img, ratio, (dw, dh) = letterbox(raw, (opt.image_size, opt.image_size))
     x = jnp.asarray(img[None].astype(np.float32) / 255.0)
 

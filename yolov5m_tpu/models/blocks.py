@@ -41,6 +41,7 @@ class CBL(nn.Module):
     pad: int = 0
     dtype: jnp.dtype = jnp.float32
     bn_axis: Optional[str] = None
+    fused: bool = False   # inference with BN folded into conv (models/fuse.py)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -49,18 +50,19 @@ class CBL(nn.Module):
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
             padding=((self.pad, self.pad), (self.pad, self.pad)),
-            use_bias=False,
+            use_bias=self.fused,
             dtype=self.dtype,
             name="conv",
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=BN_MOMENTUM,
-            epsilon=BN_EPS,
-            dtype=jnp.float32,
-            axis_name=self.bn_axis if train else None,
-            name="bn",
-        )(x)
+        if not self.fused:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=BN_MOMENTUM,
+                epsilon=BN_EPS,
+                dtype=jnp.float32,
+                axis_name=self.bn_axis if train else None,
+                name="bn",
+            )(x)
         return nn.silu(x.astype(self.dtype))
 
 
@@ -71,12 +73,15 @@ class Bottleneck(nn.Module):
     width: float = 1.0
     dtype: jnp.dtype = jnp.float32
     bn_axis: Optional[str] = None
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.width * x.shape[-1])
-        y = CBL(c_, 1, 1, 0, self.dtype, self.bn_axis, name="c1")(x, train)
-        y = CBL(self.out_ch, 3, 1, 1, self.dtype, self.bn_axis, name="c2")(y, train)
+        y = CBL(c_, 1, 1, 0, self.dtype, self.bn_axis, self.fused,
+                name="c1")(x, train)
+        y = CBL(self.out_ch, 3, 1, 1, self.dtype, self.bn_axis, self.fused,
+                name="c2")(y, train)
         return y + x
 
 
@@ -95,24 +100,22 @@ class C3(nn.Module):
     backbone: bool = True
     dtype: jnp.dtype = jnp.float32
     bn_axis: Optional[str] = None
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.width * x.shape[-1])
-        y = CBL(c_, 1, 1, 0, self.dtype, self.bn_axis, name="c1")(x, train)
+        args = (self.dtype, self.bn_axis, self.fused)
+        y = CBL(c_, 1, 1, 0, *args, name="c1")(x, train)
         for j in range(self.depth):
             if self.backbone:
-                y = Bottleneck(c_, 1.0, self.dtype, self.bn_axis,
-                               name=f"seq{j}")(y, train)
+                y = Bottleneck(c_, 1.0, *args, name=f"seq{j}")(y, train)
             else:
-                y = CBL(c_, 1, 1, 0, self.dtype, self.bn_axis,
-                        name=f"seq{j}_a")(y, train)
-                y = CBL(c_, 3, 1, 1, self.dtype, self.bn_axis,
-                        name=f"seq{j}_b")(y, train)
-        skip = CBL(c_, 1, 1, 0, self.dtype, self.bn_axis, name="c_skipped")(x, train)
+                y = CBL(c_, 1, 1, 0, *args, name=f"seq{j}_a")(y, train)
+                y = CBL(c_, 3, 1, 1, *args, name=f"seq{j}_b")(y, train)
+        skip = CBL(c_, 1, 1, 0, *args, name="c_skipped")(x, train)
         out = jnp.concatenate([y, skip], axis=-1)
-        return CBL(self.out_ch, 1, 1, 0, self.dtype, self.bn_axis,
-                   name="c_out")(out, train)
+        return CBL(self.out_ch, 1, 1, 0, *args, name="c_out")(out, train)
 
 
 class SPPF(nn.Module):
@@ -121,16 +124,18 @@ class SPPF(nn.Module):
     out_ch: int
     dtype: jnp.dtype = jnp.float32
     bn_axis: Optional[str] = None
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = x.shape[-1] // 2
-        x = CBL(c_, 1, 1, 0, self.dtype, self.bn_axis, name="c1")(x, train)
+        x = CBL(c_, 1, 1, 0, self.dtype, self.bn_axis, self.fused,
+                name="c1")(x, train)
         p1 = nn.max_pool(x, (5, 5), strides=(1, 1), padding=((2, 2), (2, 2)))
         p2 = nn.max_pool(p1, (5, 5), strides=(1, 1), padding=((2, 2), (2, 2)))
         p3 = nn.max_pool(p2, (5, 5), strides=(1, 1), padding=((2, 2), (2, 2)))
         out = jnp.concatenate([x, p1, p2, p3], axis=-1)
-        return CBL(self.out_ch, 1, 1, 0, self.dtype, self.bn_axis,
+        return CBL(self.out_ch, 1, 1, 0, self.dtype, self.bn_axis, self.fused,
                    name="c_out")(out, train)
 
 

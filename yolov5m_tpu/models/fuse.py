@@ -1,0 +1,54 @@
+"""Inference-time BatchNorm folding.
+
+Folds each CBL's BatchNorm into its convolution (kernel scaled per output
+channel, bias absorbing the normalization shift), producing variables for an
+inference model where CBL = conv(bias=True) + SiLU and no BN op exists in the
+graph. This is the deployment-strip analog of the reference's
+`strip_model`/half() utilities (reference utils/utils.py:25-28) done the XLA
+way: fewer ops to fuse, one epilogue per conv.
+
+  y = scale * (conv(x) - mean) / sqrt(var + eps) + bias
+    = conv'(x) + b'    with  conv' = conv * s,  s = scale/sqrt(var+eps),
+                             b' = bias - mean * s
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import numpy as np
+from flax import traverse_util
+
+from yolov5m_tpu.models.blocks import BN_EPS
+
+
+def fold_batchnorm(variables) -> dict:
+    """Fold BN into conv weights. Returns {'params': ...} for a fused model
+    (YOLOv5 with fused=True): conv gets a bias, bn entries are dropped.
+    """
+    params = traverse_util.flatten_dict(variables["params"])
+    stats = traverse_util.flatten_dict(variables["batch_stats"])
+
+    fused = {}
+    for path, value in params.items():
+        if path[-2:] == ("conv", "kernel"):
+            parent = path[:-2]
+            bn_scale = params.get(parent + ("bn", "scale"))
+            if bn_scale is None:            # head convs: no BN, copy through
+                fused[path] = value
+                continue
+            bn_bias = params[parent + ("bn", "bias")]
+            mean = stats[parent + ("bn", "mean")]
+            var = stats[parent + ("bn", "var")]
+            s = bn_scale / np.sqrt(np.asarray(var, np.float64) + BN_EPS)
+            s = np.asarray(s, np.float32)
+            fused[path] = np.asarray(value) * s                 # HWIO: O last
+            fused[parent + ("conv", "bias")] = np.asarray(
+                bn_bias - np.asarray(mean) * s, np.float32)
+        elif path[-2] == "bn":
+            continue                                            # dropped
+        else:                                                   # head bias etc.
+            fused[path] = value
+
+    return {"params": traverse_util.unflatten_dict(fused)}

@@ -56,33 +56,35 @@ class YOLOv5(nn.Module):
     nc: int = 80
     dtype: jnp.dtype = jnp.float32
     bn_axis: Optional[str] = None   # sync-BN mesh axis for DP (see blocks.CBL)
+    fused: bool = False             # BN folded into convs (models/fuse.py)
 
     def setup(self):
         fo, dt, ax = self.first_out, self.dtype, self.bn_axis
+        fu = self.fused
         # Backbone: 10 modules; taps after idx 4 (P3-level) and 6 (P4-level)
         # — reference model.py:184-195, 215-219.
         self.backbone = [
-            CBL(fo, 6, 2, 2, dt, ax),
-            CBL(fo * 2, 3, 2, 1, dt, ax),
-            C3(fo * 2, 0.5, 2, True, dt, ax),
-            CBL(fo * 4, 3, 2, 1, dt, ax),
-            C3(fo * 4, 0.5, 4, True, dt, ax),
-            CBL(fo * 8, 3, 2, 1, dt, ax),
-            C3(fo * 8, 0.5, 6, True, dt, ax),
-            CBL(fo * 16, 3, 2, 1, dt, ax),
-            C3(fo * 16, 0.5, 2, True, dt, ax),
-            SPPF(fo * 16, dt, ax),
+            CBL(fo, 6, 2, 2, dt, ax, fu),
+            CBL(fo * 2, 3, 2, 1, dt, ax, fu),
+            C3(fo * 2, 0.5, 2, True, dt, ax, fu),
+            CBL(fo * 4, 3, 2, 1, dt, ax, fu),
+            C3(fo * 4, 0.5, 4, True, dt, ax, fu),
+            CBL(fo * 8, 3, 2, 1, dt, ax, fu),
+            C3(fo * 8, 0.5, 6, True, dt, ax, fu),
+            CBL(fo * 16, 3, 2, 1, dt, ax, fu),
+            C3(fo * 16, 0.5, 2, True, dt, ax, fu),
+            SPPF(fo * 16, dt, ax, fu),
         ]
         # Neck: FPN-up + PAN-down — reference model.py:197-207, 221-237.
         self.neck = [
-            CBL(fo * 8, 1, 1, 0, dt, ax),
-            C3(fo * 8, 0.25, 2, False, dt, ax),
-            CBL(fo * 4, 1, 1, 0, dt, ax),
-            C3(fo * 4, 0.25, 2, False, dt, ax),
-            CBL(fo * 4, 3, 2, 1, dt, ax),
-            C3(fo * 8, 0.5, 2, False, dt, ax),
-            CBL(fo * 8, 3, 2, 1, dt, ax),
-            C3(fo * 16, 0.5, 2, False, dt, ax),
+            CBL(fo * 8, 1, 1, 0, dt, ax, fu),
+            C3(fo * 8, 0.25, 2, False, dt, ax, fu),
+            CBL(fo * 4, 1, 1, 0, dt, ax, fu),
+            C3(fo * 4, 0.25, 2, False, dt, ax, fu),
+            CBL(fo * 4, 3, 2, 1, dt, ax, fu),
+            C3(fo * 8, 0.5, 2, False, dt, ax, fu),
+            CBL(fo * 8, 3, 2, 1, dt, ax, fu),
+            C3(fo * 16, 0.5, 2, False, dt, ax, fu),
         ]
         self.head = Head(nc=self.nc, dtype=dt)
 

@@ -48,13 +48,22 @@ def _greedy_suppress(suppress_matrix: jnp.ndarray, valid: jnp.ndarray) -> jnp.nd
     """
     k = suppress_matrix.shape[0]
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)[0]
+    # valid candidates are a score-sorted prefix (invalid score = -inf), so
+    # the greedy scan can stop at their count — iterations past it are no-ops
+    n_valid = jnp.sum(valid.astype(jnp.int32))
 
-    def body(i, alive):
+    def cond(state):
+        i, _ = state
+        return i < n_valid
+
+    def body(state):
+        i, alive = state
         keeper = alive[i] & valid[i]
         row = suppress_matrix[i] & (col_ids > i)
-        return jnp.where(keeper, alive & ~row, alive)
+        return i + 1, jnp.where(keeper, alive & ~row, alive)
 
-    return jax.lax.fori_loop(0, k, body, valid)
+    _, alive = jax.lax.while_loop(cond, body, (jnp.int32(0), valid))
+    return alive
 
 
 def _prepare(rows: jnp.ndarray, conf_threshold: float, k: int):

@@ -72,7 +72,9 @@ def _nms_kernel(iou_threshold: float, data_ref, keep_ref):
         return jnp.where(alive_i, alive * (1.0 - suppress.astype(alive.dtype)),
                          alive)
 
-    alive = jax.lax.fori_loop(0, k, body, valid)
+    # valid candidates are a score-sorted prefix — stop the scan there
+    n_valid = jnp.sum(valid).astype(jnp.int32)
+    alive = jax.lax.fori_loop(0, n_valid, body, valid)
     keep_ref[0, 0:1, :] = alive
 
 
