@@ -31,7 +31,8 @@ import jax.numpy as jnp
 
 from yolov5m_tpu.config import Config
 from yolov5m_tpu.ops.boxes import box_iou
-from yolov5m_tpu.train.targets import build_flat_targets, build_grid_targets
+from yolov5m_tpu.train.targets import (
+    build_flat_targets, build_grid_targets, build_sparse_grid_targets)
 
 BALANCE = (4.0, 1.0, 0.4)  # per-scale obj weighting, reference loss.py:36
 
@@ -130,35 +131,40 @@ class YoloLoss:
     def _custom(self, preds, labels, label_mask):
         lc = self.lc
         grid_sizes = [(p.shape[2], p.shape[3]) for p in preds]
-        targets = build_grid_targets(labels, label_mask, self.anchors_px,
-                                     grid_sizes, lc.ignore_iou_thresh)
+        per_scale = build_sparse_grid_targets(
+            labels, label_mask, self.anchors_px, grid_sizes,
+            lc.ignore_iou_thresh)
         bs = preds[0].shape[0]
         if self.axis_name is not None:
             bs = bs * jax.lax.axis_size(self.axis_name)
         ax = self.axis_name
         lbox = lobj = lcls = 0.0
-        for s, (p, t) in enumerate(zip(preds, targets)):
+        for s, (p, m) in enumerate(zip(preds, per_scale)):
             p = p.astype(jnp.float32)
             anchors = self.anchors_px[s] / float(self.strides[s])  # cell units
-            pos = t[..., 4] == 1.0
-            ign = t[..., 4] == -1.0
+            valid = m["valid"]
+            rows = p[m["b"], m["a"], m["gj"], m["gi"]]        # (bs*nb, 5+nc)
 
-            pxy = jax.nn.sigmoid(p[..., 0:2]) * 2.0 - 0.5
-            pwh = (jax.nn.sigmoid(p[..., 2:4]) * 2.0) ** 2 * anchors[None, :, None, None, :]
+            pxy = jax.nn.sigmoid(rows[..., 0:2]) * 2.0 - 0.5
+            pwh = (jax.nn.sigmoid(rows[..., 2:4]) * 2.0) ** 2 * anchors[m["a"]]
             pbox = jnp.concatenate([pxy, pwh], axis=-1)
-            iou = box_iou(pbox, t[..., 0:4], giou=True)[..., 0]   # (bs,na,ny,nx)
-            lbox = lbox + _masked_mean(1.0 - iou, pos, ax)
+            iou = box_iou(pbox, m["tbox"], giou=True)[..., 0]  # (bs*nb,)
+            lbox = lbox + _masked_mean(1.0 - iou, valid, ax)
 
-            # objectness: positives weighted by detached clamped IoU
-            # (reference loss.py:217-220); ignores masked out (see module doc)
-            tobj = jnp.where(pos, jnp.clip(jax.lax.stop_gradient(iou), 0.0), 0.0)
+            # objectness over the full grid: positives weighted by detached
+            # clamped IoU (reference loss.py:217-220), scattered back at the
+            # winning cells; ignore cells masked out (see module doc)
+            iou_d = jnp.clip(jax.lax.stop_gradient(iou), 0.0)
+            tobj = jnp.zeros(p.shape[:4], jnp.float32)
+            tobj = tobj.at[m["b"], m["a"], m["gj"], m["gi"]].max(
+                jnp.where(valid, iou_d, 0.0))
             obj_bce = bce_logits(p[..., 4], tobj)
-            lobj = lobj + _masked_mean(obj_bce, ~ign, ax) * BALANCE[s]
+            lobj = lobj + _masked_mean(obj_bce, ~m["ign"], ax) * BALANCE[s]
 
-            tcls = jax.nn.one_hot(t[..., 5].astype(jnp.int32), lc.nc)
-            cls_bce = bce_logits(p[..., 5:], tcls)
-            lcls = lcls + _masked_mean(cls_bce, pos[..., None] &
-                                       jnp.ones_like(cls_bce, jnp.bool_), ax)
+            tcls = jax.nn.one_hot(m["tcls"], lc.nc)
+            cls_bce = bce_logits(rows[..., 5:], tcls)          # (bs*nb, nc)
+            lcls = lcls + _masked_mean(
+                cls_bce, valid[:, None] & jnp.ones_like(cls_bce, jnp.bool_), ax)
 
         total = (lc.lambda_box * lbox + lc.lambda_obj * lobj
                  + lc.lambda_class * lcls) * bs
