@@ -48,22 +48,18 @@ def _greedy_suppress(suppress_matrix: jnp.ndarray, valid: jnp.ndarray) -> jnp.nd
     """
     k = suppress_matrix.shape[0]
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)[0]
-    # valid candidates are a score-sorted prefix (invalid score = -inf), so
-    # the greedy scan can stop at their count — iterations past it are no-ops
-    n_valid = jnp.sum(valid.astype(jnp.int32))
 
-    def cond(state):
-        i, _ = state
-        return i < n_valid
-
-    def body(state):
-        i, alive = state
+    # NOTE: static trip count on purpose. A while_loop bounded by the valid-
+    # candidate count looks like a win (valid rows are a sorted prefix), but
+    # under vmap a traced-bound loop compiles ~75x slower per iteration on
+    # TPU (measured 463ms vs 49ms for the full pipeline at K=1024). The
+    # Pallas backend keeps the dynamic bound — Mosaic handles it fine.
+    def body(i, alive):
         keeper = alive[i] & valid[i]
         row = suppress_matrix[i] & (col_ids > i)
-        return i + 1, jnp.where(keeper, alive & ~row, alive)
+        return jnp.where(keeper, alive & ~row, alive)
 
-    _, alive = jax.lax.while_loop(cond, body, (jnp.int32(0), valid))
-    return alive
+    return jax.lax.fori_loop(0, k, body, valid)
 
 
 def _prepare(rows: jnp.ndarray, conf_threshold: float, k: int):

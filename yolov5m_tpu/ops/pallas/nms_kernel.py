@@ -1,16 +1,23 @@
 """Pallas TPU kernel for greedy NMS suppression.
 
 The native-equivalent of the C++/CUDA kernel the reference reaches through
-torchvision.ops.nms (reference utils/bboxes_utils.py:3,195). The greedy scan
-is inherently sequential in the keep decision, but each step's suppression
-test is a K-wide vector op — a perfect VPU shape. This kernel keeps all K
-candidates resident in VMEM in lane-major (row, K) layout and materializes
-no K×K IoU matrix (the XLA fallback in ops/nms.py builds one): O(K) memory,
-O(K²) VPU flops, zero HBM traffic inside the loop.
+torchvision.ops.nms (reference utils/bboxes_utils.py:3,195). Two phases, all
+VMEM-resident:
 
-Layout per image (lane dimension = candidates, K multiple of 128):
-  data (8, K) f32: rows = x1, y1, x2, y2, class, valid, 0, 0
-  out  (1, K) f32: 1.0 = keep
+  1. Build the upper-triangular suppress matrix S (K×K) with pure vector
+     broadcasts — S[i,j] = 1 if candidate i suppresses j (IoU > threshold,
+     same class, j > i). One shot of (K,K) elementwise VPU work.
+  2. Greedy scan: for each score-ranked candidate i (stopping at the count
+     of confidence-valid candidates — they are a sorted prefix), if i is
+     still alive, clear every j with S[i,j]=1. Each iteration is one dynamic
+     row read from scratch + a couple of (1,K) vector ops — no per-iteration
+     IoU math and no scalar extraction beyond one masked reduce.
+
+Layouts per image (lane dimension = candidates, K multiple of 128):
+  data   (8, K) f32 rows: x1, y1, x2, y2, class, valid, 0, 0
+  data_t (K, 8) f32 — same, transposed (built by XLA; Mosaic-side transposes
+         of lane→sublane are what we're avoiding)
+  out    (1, K) f32: 1.0 = keep
 
 Grid = batch; one program per image.
 """
@@ -38,43 +45,47 @@ def pallas_available() -> bool:
         return False
 
 
-def _nms_kernel(iou_threshold: float, data_ref, keep_ref):
-    # data_ref: (1, 8, K); keep_ref: (1, 1, K)
+def _nms_kernel(iou_threshold: float, data_ref, data_t_ref, keep_ref,
+                smat_ref):
+    # data_ref: (1, 8, K); data_t_ref: (1, K, 8); keep_ref: (1, 1, K)
+    # smat_ref: (K, K) f32 VMEM scratch
     k = data_ref.shape[2]
-    x1 = data_ref[0, 0:1, :]       # (1, K)
-    y1 = data_ref[0, 1:2, :]
-    x2 = data_ref[0, 2:3, :]
-    y2 = data_ref[0, 3:4, :]
-    cls = data_ref[0, 4:5, :]
+    x1r = data_ref[0, 0:1, :]          # (1, K)
+    y1r = data_ref[0, 1:2, :]
+    x2r = data_ref[0, 2:3, :]
+    y2r = data_ref[0, 3:4, :]
+    clsr = data_ref[0, 4:5, :]
     valid = data_ref[0, 5:6, :]
-    area = (x2 - x1) * (y2 - y1)
+
+    x1c = data_t_ref[0, :, 0:1]        # (K, 1)
+    y1c = data_t_ref[0, :, 1:2]
+    x2c = data_t_ref[0, :, 2:3]
+    y2c = data_t_ref[0, :, 3:4]
+    clsc = data_t_ref[0, :, 4:5]
+
+    # ---- phase 1: upper-triangular suppress matrix ----
+    area_r = (x2r - x1r) * (y2r - y1r)                     # (1, K)
+    area_c = (x2c - x1c) * (y2c - y1c)                     # (K, 1)
+    iw = jnp.maximum(jnp.minimum(x2c, x2r) - jnp.maximum(x1c, x1r), 0.0)
+    ih = jnp.maximum(jnp.minimum(y2c, y2r) - jnp.maximum(y1c, y1r), 0.0)
+    inter = iw * ih                                        # (K, K)
+    iou = inter / (area_c + area_r - inter + 1e-7)
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    cols_j = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    suppress = (iou > iou_threshold) & (clsc == clsr) & (cols_j > rows_i)
+    smat_ref[:, :] = suppress.astype(jnp.float32)
+
+    # ---- phase 2: greedy scan over the valid prefix ----
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+    n_valid = jnp.sum(valid).astype(jnp.int32)
 
     def body(i, alive):
-        # candidate i's box extracted by masked reduction (Mosaic has no
-        # dynamic_slice on values; a lane-onehot multiply-reduce is one VPU
-        # pass per scalar and keeps everything in registers)
-        onehot = (lane == i).astype(jnp.float32)                # (1, K)
-        bx1 = jnp.sum(x1 * onehot)
-        by1 = jnp.sum(y1 * onehot)
-        bx2 = jnp.sum(x2 * onehot)
-        by2 = jnp.sum(y2 * onehot)
-        bcls = jnp.sum(cls * onehot)
-        barea = (bx2 - bx1) * (by2 - by1)
+        row = smat_ref[pl.ds(i, 1), :]                     # (1, K)
+        # skip work past the valid prefix and for already-suppressed rows
+        alive_i = (jnp.sum(jnp.where(lane == i, alive, 0.0)) > 0.0) & (i < n_valid)
+        return jnp.where(alive_i, alive * (1.0 - row), alive)
 
-        iw = jnp.maximum(jnp.minimum(x2, bx2) - jnp.maximum(x1, bx1), 0.0)
-        ih = jnp.maximum(jnp.minimum(y2, by2) - jnp.maximum(y1, by1), 0.0)
-        inter = iw * ih
-        iou = inter / (area + barea - inter + 1e-7)
-
-        suppress = (iou > iou_threshold) & (cls == bcls) & (lane > i)
-        alive_i = jnp.sum(alive * onehot) > 0.0
-        return jnp.where(alive_i, alive * (1.0 - suppress.astype(alive.dtype)),
-                         alive)
-
-    # valid candidates are a score-sorted prefix — stop the scan there
-    n_valid = jnp.sum(valid).astype(jnp.int32)
-    alive = jax.lax.fori_loop(0, n_valid, body, valid)
+    alive = jax.lax.fori_loop(0, k, body, valid)
     keep_ref[0, 0:1, :] = alive
 
 
@@ -92,6 +103,9 @@ def greedy_suppress_pallas(boxes_xyxy: jnp.ndarray, classes: jnp.ndarray,
     """
     bs, k, _ = boxes_xyxy.shape
     assert k % 128 == 0, f"K must be a multiple of 128 (lanes), got {k}"
+    assert k <= 1024, (
+        f"K={k}: the (K,K) f32 suppress-matrix scratch exceeds VMEM above "
+        "1024; use the XLA backend for larger pre-NMS candidate counts")
 
     data = jnp.concatenate([
         boxes_xyxy.transpose(0, 2, 1),                    # (bs, 4, K)
@@ -99,14 +113,22 @@ def greedy_suppress_pallas(boxes_xyxy: jnp.ndarray, classes: jnp.ndarray,
         valid[:, None, :].astype(jnp.float32),
         jnp.zeros((bs, 2, k), jnp.float32),
     ], axis=1).astype(jnp.float32)                        # (bs, 8, K)
+    data_t = data.transpose(0, 2, 1)                      # (bs, K, 8)
 
-    in_specs = [pl.BlockSpec((1, 8, k), lambda b: (b, 0, 0))]
+    kwargs = {}
+    in_specs = [pl.BlockSpec((1, 8, k), lambda b: (b, 0, 0)),
+                pl.BlockSpec((1, k, 8), lambda b: (b, 0, 0))]
     out_specs = pl.BlockSpec((1, 1, k), lambda b: (b, 0, 0))
     if _HAS_PLTPU and not interpret:
         in_specs = [pl.BlockSpec((1, 8, k), lambda b: (b, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, k, 8), lambda b: (b, 0, 0),
                                  memory_space=pltpu.VMEM)]
         out_specs = pl.BlockSpec((1, 1, k), lambda b: (b, 0, 0),
                                  memory_space=pltpu.VMEM)
+        scratch = [pltpu.VMEM((k, k), jnp.float32)]
+    else:
+        scratch = [pltpu.VMEM((k, k), jnp.float32)] if _HAS_PLTPU else []
 
     keep = pl.pallas_call(
         functools.partial(_nms_kernel, iou_threshold),
@@ -114,6 +136,8 @@ def greedy_suppress_pallas(boxes_xyxy: jnp.ndarray, classes: jnp.ndarray,
         grid=(bs,),
         in_specs=in_specs,
         out_specs=out_specs,
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(data)
+        **kwargs,
+    )(data, data_t)
     return keep[:, 0, :] > 0.0
