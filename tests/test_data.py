@@ -162,3 +162,40 @@ def test_prefetch_loader_matches_sync(tiny_dataset):
         np.testing.assert_array_equal(a["image"], b["image"])
         np.testing.assert_array_equal(a["labels"], b["labels"])
         np.testing.assert_array_equal(a["mask"], b["mask"])
+
+
+def test_mosaic4_box_placement():
+    """Mosaic quadrant geometry: a full-image box in each source lands in the
+    right quadrant with correct normalized coordinates."""
+    from yolov5m_tpu.data.augment import mosaic4
+    s = 64
+    items = []
+    for c in range(4):
+        img = np.full((s, s, 3), 50.0 * (c + 1), np.float32)
+        labels = np.array([[c, 0.5, 0.5, 0.5, 0.5]], np.float32)
+        items.append((img, labels))
+    rng = np.random.default_rng(0)
+    img, labels = mosaic4(items, s, rng)
+    assert img.shape == (s, s, 3)
+    # all four boxes survive (each at least partially visible)
+    assert 1 <= len(labels) <= 4
+    assert np.all(labels[:, 1:] >= 0) and np.all(labels[:, 1:] <= 1)
+    # classes are from the source set
+    assert set(labels[:, 0].astype(int)) <= {0, 1, 2, 3}
+
+
+def test_hsv_augment_preserves_shape_and_range(rng):
+    from yolov5m_tpu.data.augment import augment_hsv
+    img = rng.uniform(0, 255, (32, 32, 3)).astype(np.float32)
+    out = augment_hsv(img, rng)
+    assert out.shape == img.shape
+    assert 0 <= out.min() and out.max() <= 255
+
+
+def test_mosaic_loader_integration(tiny_dataset):
+    ds = DetectionDataset(tiny_dataset, train=True, max_boxes=32)
+    loader = BatchLoader(ds, batch_size=4, shuffle=True, seed=1,
+                         mosaic_p=1.0, hsv=True)
+    b = next(iter(loader))
+    assert b["image"].shape == (4, 640, 640, 3)
+    assert np.all(b["labels"][b["mask"]][:, 1:] <= 1.0)

@@ -43,6 +43,11 @@ def arg_parser():
     p.add_argument("--first_out", type=int, default=48)
     p.add_argument("--image_size", type=int, default=640)
     p.add_argument("--max_boxes", type=int, default=120)
+    p.add_argument("--mosaic", type=float, default=0.0,
+                   help="mosaic-4 augmentation probability (north-star "
+                        "config; the reference has none)")
+    p.add_argument("--hsv", action="store_true",
+                   help="random HSV gains augmentation")
     p.add_argument("--multi_scale", type=str, default="",
                    help="comma-separated multi-scale sizes (e.g. 512,576,640);"
                         " static jit buckets replacing the reference's random"
@@ -138,7 +143,8 @@ def main(opt):
     train_loader, val_loader = get_loaders(
         root, opt.bs, rect_training=opt.rect, box_format=opt.box_format,
         max_boxes=opt.max_boxes, default_size=opt.image_size,
-        multi_scale_sizes=ms_sizes, num_workers=opt.nw)
+        multi_scale_sizes=ms_sizes, num_workers=opt.nw,
+        mosaic_p=getattr(opt, "mosaic", 0.0), hsv=getattr(opt, "hsv", False))
 
     loss_fn = YoloLoss(LossConfig.from_config(cfg), anchors_px,
                        kind="ultralytics" if opt.ultralytics_loss else "custom")

@@ -152,3 +152,80 @@ class TrainAugment:
         clahe = cv2.createCLAHE(clipLimit=4.0, tileGridSize=(8, 8))
         lab[..., 0] = clahe.apply(lab[..., 0])
         return cv2.cvtColor(lab, cv2.COLOR_LAB2RGB).astype(np.float32)
+
+
+def augment_hsv(img: np.ndarray, rng: np.random.Generator,
+                hgain: float = 0.015, sgain: float = 0.7,
+                vgain: float = 0.4) -> np.ndarray:
+    """Random HSV gains (Ultralytics hyp.scratch defaults). Requires cv2."""
+    if cv2 is None:
+        return img
+    r = rng.uniform(-1, 1, 3) * [hgain, sgain, vgain] + 1
+    hue, sat, val = cv2.split(
+        cv2.cvtColor(np.clip(img, 0, 255).astype(np.uint8), cv2.COLOR_RGB2HSV))
+    x = np.arange(256)
+    lut_h = ((x * r[0]) % 180).astype(np.uint8)
+    lut_s = np.clip(x * r[1], 0, 255).astype(np.uint8)
+    lut_v = np.clip(x * r[2], 0, 255).astype(np.uint8)
+    merged = cv2.merge((cv2.LUT(hue, lut_h), cv2.LUT(sat, lut_s),
+                        cv2.LUT(val, lut_v)))
+    return cv2.cvtColor(merged, cv2.COLOR_HSV2RGB).astype(np.float32)
+
+
+def mosaic4(items, out_size: int, rng: np.random.Generator,
+            fill: float = 114.0):
+    """Combine 4 (image, labels) pairs into one mosaic of out_size².
+
+    Standard YOLO mosaic: a 2s canvas with a jittered center, one image per
+    quadrant, then downscaled to s. Labels are (n, 5) normalized (cls, cx,
+    cy, w, h) per source image and come back in the same format for the
+    mosaic, clipped with min-visibility filtering.
+    """
+    s = out_size
+    canvas = np.full((2 * s, 2 * s, 3), fill, np.float32)
+    yc = int(rng.integers(s // 2, 3 * s // 2))
+    xc = int(rng.integers(s // 2, 3 * s // 2))
+    out_cls, out_corners, out_area = [], [], []
+
+    for k, (img, labels) in enumerate(items):
+        h, w = img.shape[:2]
+        if k == 0:   # top-left: bottom-right corner at (xc, yc)
+            x1a, y1a = max(xc - w, 0), max(yc - h, 0)
+            x2a, y2a = xc, yc
+            x1b, y1b = w - (x2a - x1a), h - (y2a - y1a)
+        elif k == 1:  # top-right
+            x1a, y1a = xc, max(yc - h, 0)
+            x2a, y2a = min(xc + w, 2 * s), yc
+            x1b, y1b = 0, h - (y2a - y1a)
+        elif k == 2:  # bottom-left
+            x1a, y1a = max(xc - w, 0), yc
+            x2a, y2a = xc, min(yc + h, 2 * s)
+            x1b, y1b = w - (x2a - x1a), 0
+        else:         # bottom-right
+            x1a, y1a = xc, yc
+            x2a, y2a = min(xc + w, 2 * s), min(yc + h, 2 * s)
+            x1b, y1b = 0, 0
+        x2b, y2b = x1b + (x2a - x1a), y1b + (y2a - y1a)
+        canvas[y1a:y2a, x1a:x2a] = img[y1b:y2b, x1b:x2b]
+
+        if len(labels):
+            c = _boxes_to_corners(labels) * np.array([w, h, w, h])
+            c += np.array([x1a - x1b, y1a - y1b, x1a - x1b, y1a - y1b])
+            area = np.maximum(c[:, 2] - c[:, 0], 0) * \
+                np.maximum(c[:, 3] - c[:, 1], 0)
+            out_cls.append(labels[:, 0])
+            out_corners.append(c)
+            out_area.append(area)
+
+    img_out = canvas[::2, ::2] if cv2 is None else cv2.resize(
+        canvas, (s, s), interpolation=cv2.INTER_LINEAR)
+    if not out_cls:
+        return img_out, np.zeros((0, 5), np.float32)
+
+    cls = np.concatenate(out_cls)
+    corners = np.concatenate(out_corners) / (2 * s)   # normalize to canvas
+    area = np.concatenate(out_area) / (2 * s) ** 2
+    cls, corners = _clip_and_filter(cls, corners, area)
+    if not len(cls):
+        return img_out, np.zeros((0, 5), np.float32)
+    return img_out, _corners_to_boxes(cls, corners).astype(np.float32)

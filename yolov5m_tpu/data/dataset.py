@@ -232,7 +232,8 @@ class BatchLoader:
                  shuffle: bool = False, augment=None, seed: int = 0,
                  drop_last: bool = False,
                  size_buckets: Optional[Sequence[int]] = None,
-                 num_workers: int = 0, prefetch_depth: int = 2):
+                 num_workers: int = 0, prefetch_depth: int = 2,
+                 mosaic_p: float = 0.0, hsv: bool = False):
         """size_buckets: multi-scale training sizes. The reference resizes
         every batch to a random stride-32 size in [320, 672) (reference
         utils/training_utils.py:11-28) — unbounded dynamic shapes that would
@@ -259,6 +260,10 @@ class BatchLoader:
         self.num_workers = num_workers
         self.prefetch_depth = prefetch_depth if num_workers > 0 else 0
         self._pool = None
+        # mosaic + HSV (north-star config "full augmentation training":
+        # mosaic + HSV/flip pipeline — neither exists in the reference)
+        self.mosaic_p = mosaic_p
+        self.hsv = hsv
 
     def __len__(self) -> int:
         n = len(self.ds)
@@ -316,11 +321,21 @@ class BatchLoader:
         labels = np.zeros((len(idxs), nb, 5), np.float32)
         mask = np.zeros((len(idxs), nb), bool)
         for k, idx in enumerate(idxs):
-            img, lab = self.ds.load_item(int(idx), target_hw=hw)
+            # per-item deterministic rng: thread-safe under prefetch
+            item_rng = np.random.default_rng((hash((batch_idx, k)) & 0x7FFFFFFF))
+            if self.mosaic_p > 0 and item_rng.random() < self.mosaic_p \
+                    and hw[0] == hw[1]:
+                from yolov5m_tpu.data.augment import mosaic4
+                partners = [int(idx)] + [int(i) for i in
+                                         item_rng.integers(0, len(self.ds), 3)]
+                items = [self.ds.load_item(i, target_hw=hw) for i in partners]
+                img, lab = mosaic4(items, hw[0], item_rng)
+            else:
+                img, lab = self.ds.load_item(int(idx), target_hw=hw)
+            if self.hsv:
+                from yolov5m_tpu.data.augment import augment_hsv
+                img = augment_hsv(img, item_rng)
             if self.augment is not None:
-                # per-item deterministic rng: thread-safe under prefetch
-                item_rng = np.random.default_rng(
-                    (hash((batch_idx, k)) & 0x7FFFFFFF))
                 img, lab = self.augment(img, lab, batch_idx=batch_idx,
                                         rng=item_rng)
             n = min(len(lab), nb)

@@ -21,6 +21,8 @@ def get_loaders(
     seed: int = 0,
     multi_scale_sizes=None,
     num_workers: int = 0,
+    mosaic_p: float = 0.0,
+    hsv: bool = False,
 ) -> Tuple[BatchLoader, BatchLoader]:
     """Build train/val BatchLoaders over the standard directory layout."""
     train_ds = DetectionDataset(
@@ -37,7 +39,7 @@ def get_loaders(
         shuffle=not rect_training,                    # training_utils.py:57
         augment=TrainAugment(seed=seed) if augment else None,
         seed=seed, drop_last=True, size_buckets=multi_scale_sizes,
-        num_workers=num_workers)
+        num_workers=num_workers, mosaic_p=mosaic_p, hsv=hsv)
     val_loader = BatchLoader(val_ds, batch_size, shuffle=False, augment=None,
                              seed=seed, drop_last=False,
                              num_workers=num_workers)
