@@ -32,11 +32,37 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from yolov5m_tpu.train.trainer import TrainState, make_train_step
 
 
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> int:
+    """Join a multi-host JAX cluster (DCN between hosts, ICI within).
+
+    Call once before make_mesh on every host; afterwards jax.devices() spans
+    all hosts and the same shard_map DP code runs unchanged (collectives are
+    laid out over ICI/DCN by XLA). With no arguments, cluster autodetection
+    (TPU pod environments) is used. Returns this process's index.
+    """
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+    return jax.process_index()
+
+
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis,))
+
+
+def local_batch_slice(global_batch_size: int) -> slice:
+    """The slice of the global batch this host should feed (multi-host DP:
+    each host loads only its shard; device_put then places per-device)."""
+    per = global_batch_size // jax.process_count()
+    start = jax.process_index() * per
+    return slice(start, start + per)
 
 
 def replicate_state(state: TrainState, mesh: Mesh) -> TrainState:
