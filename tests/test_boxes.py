@@ -118,3 +118,35 @@ def test_pairwise_iou(rng):
     got = np.asarray(pairwise_iou_xyxy(jnp.asarray(a), jnp.asarray(b)))
     exp = np_iou_corners(a[:, None, :], b[None, :, :])
     np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-6)
+
+
+def test_diou_ciou_properties():
+    """DIoU/CIoU sanity: equal boxes → 1; both ≤ IoU; CIoU ≤ DIoU for
+    mismatched aspect ratios."""
+    a = jnp.array([[100.0, 100.0, 40.0, 20.0]])
+    assert np.isclose(float(box_iou(a, a, ciou=True)[0, 0]), 1.0, atol=1e-5)
+    assert np.isclose(float(box_iou(a, a, diou=True)[0, 0]), 1.0, atol=1e-5)
+    b = jnp.array([[120.0, 110.0, 20.0, 40.0]])  # offset + rotated aspect
+    iou = float(box_iou(a, b)[0, 0])
+    diou = float(box_iou(a, b, diou=True)[0, 0])
+    ciou = float(box_iou(a, b, ciou=True)[0, 0])
+    assert diou < iou
+    assert ciou < diou  # aspect term adds penalty here
+
+
+def test_ciou_loss_differentiable():
+    import jax
+    from yolov5m_tpu.config import ANCHORS
+    from yolov5m_tpu.train.loss import LossConfig, YoloLoss
+    rng_np = np.random.default_rng(0)
+    preds = [jnp.asarray(rng_np.normal(size=(1, 3, 8, 8, 10)).astype(np.float32)),
+             jnp.asarray(rng_np.normal(size=(1, 3, 4, 4, 10)).astype(np.float32)),
+             jnp.asarray(rng_np.normal(size=(1, 3, 2, 2, 10)).astype(np.float32))]
+    labels = jnp.asarray([[[1, .5, .5, .2, .3]]], jnp.float32)
+    mask = jnp.ones((1, 1), bool)
+    loss_fn = YoloLoss(LossConfig(nc=5, iou_type="ciou"),
+                       np.asarray(ANCHORS, np.float32))
+    val, grads = jax.value_and_grad(
+        lambda ps: loss_fn(ps, labels, mask)[0])(preds)
+    assert np.isfinite(float(val))
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in grads)

@@ -114,9 +114,9 @@ def test_bf16_compute_close_to_fp32(rng):
     o32 = model32.apply(variables, x)
     o16 = model16.apply(variables, x)
     for a, b in zip(o32, o16):
-        assert np.asarray(a).dtype == np.float32
-        # logits: loose tolerance for bf16 accumulation differences
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0.15)
+        assert np.asarray(b).dtype == np.dtype("bfloat16")  # no fp32 upcast
+        np.testing.assert_allclose(np.asarray(a),
+                                   np.asarray(b).astype(np.float32), atol=0.15)
 
 
 def test_bn_folding_matches_unfused(rng):

@@ -43,6 +43,9 @@ def arg_parser():
     p.add_argument("--first_out", type=int, default=48)
     p.add_argument("--image_size", type=int, default=640)
     p.add_argument("--max_boxes", type=int, default=120)
+    p.add_argument("--iou_type", type=str, default="giou",
+                   choices=["giou", "ciou", "diou", "iou"],
+                   help="box regression objective (reference uses GIoU)")
     p.add_argument("--mosaic", type=float, default=0.0,
                    help="mosaic-4 augmentation probability (north-star "
                         "config; the reference has none)")
@@ -100,7 +103,8 @@ def main(opt):
     root, nc, labels = resolve_dataset(opt)
     cfg = Config(first_out=opt.first_out, nc=nc, image_size=opt.image_size,
                  epochs=opt.epochs, batch_size=opt.bs,
-                 max_boxes_per_image=opt.max_boxes)
+                 max_boxes_per_image=opt.max_boxes,
+                 iou_type=getattr(opt, "iou_type", "giou"))
 
     model = YOLOv5(first_out=cfg.first_out, nc=cfg.nc, dtype=jnp.bfloat16)
     anchors_norm = normalized_anchors()

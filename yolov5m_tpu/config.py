@@ -60,6 +60,7 @@ class Config:
     obj_pw: float = 1.0
     anchor_t: float = 4.0                # ultralytics_loss.py:35
     ignore_iou_thresh: float = 0.5       # loss.py:45
+    iou_type: str = "giou"               # giou (reference) | ciou | diou | iou
 
     # Postprocess / eval thresholds (reference config.py:26-29)
     conf_threshold: float = 0.01

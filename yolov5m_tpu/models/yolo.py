@@ -45,7 +45,10 @@ class Head(nn.Module):
             # NHWC channel order is anchor-major [(5+nc) x na], same memory
             # grouping as the reference's view(bs, na, 5+nc, ny, nx) on NCHW.
             y = y.reshape(bs, ny, nx, self.na, no).transpose(0, 3, 1, 2, 4)
-            outs.append(y.astype(jnp.float32))
+            # keep compute dtype: casting ~25k x 85 logits to fp32 here costs
+            # ~400MB of HBM traffic per 64-batch; consumers (loss, decode)
+            # cast the rows they actually use
+            outs.append(y)
         return outs
 
 

@@ -10,6 +10,7 @@ All functions accept arbitrary leading batch dimensions.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -36,15 +37,20 @@ def box_iou(
     boxes2: jnp.ndarray,
     box_format: str = "midpoint",
     giou: bool = False,
+    diou: bool = False,
+    ciou: bool = False,
     eps: float = 1e-7,
 ) -> jnp.ndarray:
-    """(G)IoU between paired boxes. Math matches reference bboxes_utils.py:33-87.
+    """IoU variants between paired boxes. GIoU math matches reference
+    bboxes_utils.py:33-87; DIoU/CIoU (Zheng et al. 2020) are additional
+    regression objectives the reference lacks (the Ultralytics lineage
+    trains with CIoU).
 
     Args:
       boxes1, boxes2: (..., 4), midpoint (cx,cy,w,h) or corners (x1,y1,x2,y2).
-      giou: if True, return generalized IoU (https://giou.stanford.edu).
+      giou/diou/ciou: pick at most one variant; all False → plain IoU.
     Returns:
-      (..., 1) IoU/GIoU, keeping the trailing singleton like the reference.
+      (..., 1) IoU, keeping the trailing singleton like the reference.
     """
     if box_format == "midpoint":
         b1_x1 = boxes1[..., 0:1] - boxes1[..., 2:3] / 2
@@ -69,11 +75,25 @@ def box_iou(
     union = w1 * h1 + w2 * h2 - inter + eps
     iou = inter / union
 
-    if giou:
+    if giou or diou or ciou:
         cw = jnp.maximum(b1_x2, b2_x2) - jnp.minimum(b1_x1, b2_x1)
         ch = jnp.maximum(b1_y2, b2_y2) - jnp.minimum(b1_y1, b2_y1)
-        c_area = cw * ch + eps
-        return iou - (c_area - union) / c_area
+        if giou:
+            c_area = cw * ch + eps
+            return iou - (c_area - union) / c_area
+        # DIoU/CIoU: center-distance penalty over the enclosing diagonal
+        c2 = cw ** 2 + ch ** 2 + eps
+        rho2 = ((b1_x1 + b1_x2 - b2_x1 - b2_x2) ** 2
+                + (b1_y1 + b1_y2 - b2_y1 - b2_y2) ** 2) / 4.0
+        if diou:
+            return iou - rho2 / c2
+        # CIoU: + aspect-ratio consistency term
+        import math
+        v = (4 / math.pi ** 2) * (jnp.arctan(w2 / (h2 + eps))
+                                  - jnp.arctan(w1 / (h1 + eps))) ** 2
+        alpha = v / (v - iou + (1 + eps))
+        alpha = jax.lax.stop_gradient(alpha)
+        return iou - (rho2 / c2 + v * alpha)
     return iou
 
 

@@ -46,6 +46,7 @@ class LossConfig:
     image_size: int = 640
     anchor_t: float = 4.0
     ignore_iou_thresh: float = 0.5
+    iou_type: str = "giou"   # giou (reference) | ciou | diou | iou
 
     @property
     def lambda_class(self) -> float:
@@ -62,7 +63,9 @@ class LossConfig:
     @classmethod
     def from_config(cls, cfg: Config) -> "LossConfig":
         return cls(nc=cfg.nc, image_size=cfg.image_size,
-                   anchor_t=cfg.anchor_t, ignore_iou_thresh=cfg.ignore_iou_thresh)
+                   anchor_t=cfg.anchor_t,
+                   ignore_iou_thresh=cfg.ignore_iou_thresh,
+                   iou_type=cfg.iou_type)
 
 
 def bce_logits(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
@@ -115,6 +118,11 @@ class YoloLoss:
         return YoloLoss(self.lc, self.anchors_px, self.kind, self.strides,
                         axis_name)
 
+    def _box_iou(self, pbox, tbox):
+        t = self.lc.iou_type
+        return box_iou(pbox, tbox, giou=(t == "giou"), diou=(t == "diou"),
+                       ciou=(t == "ciou"))[..., 0]
+
     def __call__(self, preds: Sequence[jnp.ndarray], labels: jnp.ndarray,
                  label_mask: jnp.ndarray) -> Tuple[jnp.ndarray, dict]:
         """preds: list of (bs, na, ny, nx, 5+nc) raw logits.
@@ -140,15 +148,17 @@ class YoloLoss:
         ax = self.axis_name
         lbox = lobj = lcls = 0.0
         for s, (p, m) in enumerate(zip(preds, per_scale)):
-            p = p.astype(jnp.float32)
             anchors = self.anchors_px[s] / float(self.strides[s])  # cell units
             valid = m["valid"]
-            rows = p[m["b"], m["a"], m["gj"], m["gi"]]        # (bs*nb, 5+nc)
+            # gather first, cast the gathered rows + obj channel only —
+            # casting the whole (bs,na,ny,nx,5+nc) tensor to fp32 doubles
+            # its HBM traffic for data that is mostly never read again
+            rows = p[m["b"], m["a"], m["gj"], m["gi"]].astype(jnp.float32)
 
             pxy = jax.nn.sigmoid(rows[..., 0:2]) * 2.0 - 0.5
             pwh = (jax.nn.sigmoid(rows[..., 2:4]) * 2.0) ** 2 * anchors[m["a"]]
             pbox = jnp.concatenate([pxy, pwh], axis=-1)
-            iou = box_iou(pbox, m["tbox"], giou=True)[..., 0]  # (bs*nb,)
+            iou = self._box_iou(pbox, m["tbox"])               # (bs*nb,)
             lbox = lbox + _masked_mean(1.0 - iou, valid, ax)
 
             # objectness over the full grid: positives weighted by detached
@@ -158,7 +168,7 @@ class YoloLoss:
             tobj = jnp.zeros(p.shape[:4], jnp.float32)
             tobj = tobj.at[m["b"], m["a"], m["gj"], m["gi"]].max(
                 jnp.where(valid, iou_d, 0.0))
-            obj_bce = bce_logits(p[..., 4], tobj)
+            obj_bce = bce_logits(p[..., 4].astype(jnp.float32), tobj)
             lobj = lobj + _masked_mean(obj_bce, ~m["ign"], ax) * BALANCE[s]
 
             tcls = jax.nn.one_hot(m["tcls"], lc.nc)
@@ -185,14 +195,13 @@ class YoloLoss:
         ax = self.axis_name
         lbox = lobj = lcls = 0.0
         for s, (p, m) in enumerate(zip(preds, per_scale)):
-            p = p.astype(jnp.float32)
             valid = m["valid"]
-            rows = p[m["b"], m["a"], m["gj"], m["gi"]]        # (M, 5+nc)
+            rows = p[m["b"], m["a"], m["gj"], m["gi"]].astype(jnp.float32)
 
             pxy = jax.nn.sigmoid(rows[..., 0:2]) * 2.0 - 0.5
             pwh = (jax.nn.sigmoid(rows[..., 2:4]) * 2.0) ** 2 * m["anchor_wh"]
             pbox = jnp.concatenate([pxy, pwh], axis=-1)
-            iou = box_iou(pbox, m["tbox"], giou=True)[..., 0]  # (M,)
+            iou = self._box_iou(pbox, m["tbox"])               # (M,)
             lbox = lbox + _masked_mean(1.0 - iou, valid, ax)
 
             # scatter detached IoU into the obj target grid; overlapping
@@ -202,7 +211,8 @@ class YoloLoss:
             tobj = jnp.zeros(p.shape[:4], jnp.float32)
             tobj = tobj.at[m["b"], m["a"], m["gj"], m["gi"]].max(
                 jnp.where(valid, iou_d, 0.0))
-            lobj = lobj + _global_mean(bce_logits(p[..., 4], tobj), ax) * BALANCE[s]
+            lobj = lobj + _global_mean(
+                bce_logits(p[..., 4].astype(jnp.float32), tobj), ax) * BALANCE[s]
 
             if lc.nc > 1:
                 tcls = jax.nn.one_hot(m["tcls"], lc.nc)
