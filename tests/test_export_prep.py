@@ -104,3 +104,17 @@ def test_multi_scale_buckets(tmp_path, rng):
 
     with pytest.raises(AssertionError):
         BatchLoader(ds, 2, size_buckets=(100,))  # not stride-32
+
+
+def test_export_with_postprocess(tmp_path, rng):
+    """Full detect pipeline (model+decode+NMS) exports and reloads."""
+    model = YOLOv5(first_out=8, nc=4, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    path = export_stablehlo(model, variables, str(tmp_path / "det.stablehlo"),
+                            input_shape=(1, 64, 64, 3), with_postprocess=True,
+                            conf=0.3, iou=0.5)
+    fn = load_stablehlo(path)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    out, valid = fn(x)
+    assert out.shape == (1, 300, 6)
+    assert valid.shape == (1, 300)
