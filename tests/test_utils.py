@@ -71,3 +71,14 @@ def test_save_prediction_images(tmp_path, rng):
     assert n == 2
     out = tmp_path / "model_1" / "EPOCH_2"
     assert sorted(os.listdir(out)) == ["image_0.png", "image_1.png"]
+
+
+def test_strip_checkpoint_bf16():
+    from yolov5m_tpu.utils.checkpoint import strip_checkpoint
+
+    state = {"params": {"w": jnp.ones((4, 4), jnp.float32)},
+             "batch_stats": {"m": jnp.zeros((4,), jnp.float32)},
+             "opt_state": {"big": jnp.zeros((100,))}}
+    stripped = strip_checkpoint(state, keep_ema=False)
+    assert set(stripped) == {"params", "batch_stats"}
+    assert np.asarray(stripped["params"]["w"]).dtype == np.dtype("bfloat16")

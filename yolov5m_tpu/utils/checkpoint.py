@@ -67,3 +67,24 @@ def next_run_name(folder_path: str) -> str:
         if m:
             nums.append(int(m.group(1)))
     return f"model_{max(nums) + 1}" if nums else "model_1"
+
+
+def strip_checkpoint(state: Any, keep_ema: bool = True) -> dict:
+    """Deployment strip: keep only inference variables, cast params to
+    bfloat16 (the reference's strip_model/half analog, utils/utils.py:25-28).
+    Returns {'params', 'batch_stats'} suitable for detect/export.
+    """
+    import jax.numpy as jnp
+
+    params = getattr(state, "ema_params", None) if keep_ema else None
+    if params is None:
+        params = state.params if hasattr(state, "params") else state["params"]
+    stats = state.batch_stats if hasattr(state, "batch_stats") \
+        else state["batch_stats"]
+
+    def _cast(x):
+        x = np.asarray(x)
+        return x.astype(jnp.bfloat16) if x.dtype == np.float32 else x
+
+    return {"params": jax.tree.map(_cast, params),
+            "batch_stats": jax.tree.map(_cast, stats)}
