@@ -171,6 +171,7 @@ def main(opt):
         if not opt.only_eval:
             t0 = time.time()
             epoch_loss, nb = 0.0, 0
+            t_step = time.time()
             for idx, batch in enumerate(train_loader):
                 b = put(batch)
                 state, metrics = step_fn(state, b["image"], b["labels"], b["mask"])
@@ -178,8 +179,12 @@ def main(opt):
                 epoch_loss += loss
                 nb += 1
                 if idx % 10 == 0:
+                    dt = time.time() - t_step
+                    ips = 10 * opt.bs / dt if idx else opt.bs / dt
+                    t_step = time.time()
                     print(f"epoch {epoch} [{idx}/{len(train_loader)}] "
-                          f"loss {loss:.4f} gnorm {float(metrics['grad_norm']):.2f}",
+                          f"loss {loss:.4f} gnorm {float(metrics['grad_norm']):.2f} "
+                          f"{ips:.1f} img/s",
                           flush=True)
                 if save_logs and idx % 100 == 0:
                     logger.log_loss(epoch, idx, float(metrics["box"]),

@@ -114,4 +114,5 @@ class Evaluator:
             "map50": m["map_50"],
             "map75": m["map_75"],
             "map": m["map"],
+            "ap_per_class": m.get("ap_per_class", {}),
         }
