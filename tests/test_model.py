@@ -138,3 +138,23 @@ def test_bn_folding_matches_unfused(rng):
     for a, b in zip(ref, got):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_s2d_stem_exact_parity(rng):
+    """Space-to-depth stem rewrite equals the standard 6x6/s2 stem exactly."""
+    from yolov5m_tpu.models.s2d import stem_weights_to_s2d
+
+    nc, hw = 4, 64
+    model, variables = _init_model(first_out=8, nc=nc, hw=hw)
+    sd = _random_torch_sd(variables, rng)
+    variables = convert_torch_state_dict(sd, variables)
+
+    s2d_model = YOLOv5(first_out=8, nc=nc, dtype=jnp.float32, stem_s2d=True)
+    s2d_vars = stem_weights_to_s2d(variables)
+
+    x = jnp.asarray(rng.uniform(0, 1, (2, hw, hw, 3)).astype(np.float32))
+    ref = model.apply(variables, x)
+    got = s2d_model.apply(s2d_vars, x)
+    for a, b in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

@@ -60,14 +60,17 @@ class YOLOv5(nn.Module):
     dtype: jnp.dtype = jnp.float32
     bn_axis: Optional[str] = None   # sync-BN mesh axis for DP (see blocks.CBL)
     fused: bool = False             # BN folded into convs (models/fuse.py)
+    stem_s2d: bool = False          # space-to-depth stem rewrite (models/s2d.py)
 
     def setup(self):
         fo, dt, ax = self.first_out, self.dtype, self.bn_axis
         fu = self.fused
         # Backbone: 10 modules; taps after idx 4 (P3-level) and 6 (P4-level)
         # — reference model.py:184-195, 215-219.
+        stem = (CBL(fo, 3, 1, 1, dt, ax, fu) if self.stem_s2d
+                else CBL(fo, 6, 2, 2, dt, ax, fu))
         self.backbone = [
-            CBL(fo, 6, 2, 2, dt, ax, fu),
+            stem,
             CBL(fo * 2, 3, 2, 1, dt, ax, fu),
             C3(fo * 2, 0.5, 2, True, dt, ax, fu),
             CBL(fo * 4, 3, 2, 1, dt, ax, fu),
@@ -99,6 +102,9 @@ class YOLOv5(nn.Module):
         assert x.shape[1] % 32 == 0 and x.shape[2] % 32 == 0, \
             "H and W must be divisible by 32"
         x = x.astype(self.dtype)
+        if self.stem_s2d:
+            from yolov5m_tpu.models.s2d import space_to_depth2
+            x = space_to_depth2(x)
 
         taps = []
         for idx, layer in enumerate(self.backbone):
