@@ -68,9 +68,17 @@ def main(batch_size: int = 64, iters: int = 24, warmup: int = 1) -> None:
         det, valid = infer(variables, xs[i % len(xs)])
     det.block_until_ready()
 
+    # adapt the iteration count to current device speed so the bench always
+    # finishes (the tunneled chip has been observed degraded 50x for hours)
+    t0 = time.perf_counter()
+    det, valid = infer(variables, xs[0])
+    det.block_until_ready()
+    probe = time.perf_counter() - t0
+    iters = max(4, min(iters, int(90.0 / max(probe, 1e-3))))
+
     t0 = time.perf_counter()
     for i in range(iters):
-        det, valid = infer(variables, xs[i % len(xs)])
+        det, valid = infer(variables, xs[(i + 1) % len(xs)])
     det.block_until_ready()
     dt = time.perf_counter() - t0
 

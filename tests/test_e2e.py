@@ -89,3 +89,29 @@ def test_detect_cli(dataset_root, tmp_path, monkeypatch, rng):
     detect.main(opt)
     outs = list((tmp_path / "detections_exp").glob("*_pred.png"))
     assert len(outs) == 1
+
+
+def test_train_cli_rect_and_ultralytics_loss(dataset_root, tmp_path, monkeypatch):
+    """Rectangular batching + ultralytics loss through the full CLI path."""
+    from yolov5m_tpu.cli.train import main
+
+    monkeypatch.chdir(tmp_path)
+    main(_opt(dataset_root, rect=True, ultralytics_loss=True,
+              nosaveimgs=True, filename="rect_run"))
+    ckpt = tmp_path / "SAVED_CHECKPOINT" / "rect_run" / "checkpoint_epoch_1.msgpack"
+    assert ckpt.is_file()
+    eval_csv = (tmp_path / "train_eval_metrics" / "rect_run" / "eval.csv").read_text()
+    assert len(eval_csv.strip().splitlines()) == 2
+
+
+def test_train_cli_mosaic_hsv_multiscale(dataset_root, tmp_path, monkeypatch):
+    """Mosaic + HSV + multi-scale buckets through the CLI."""
+    from yolov5m_tpu.cli.train import main
+
+    opt = _opt(dataset_root, nosaveimgs=True, nosavemodel=True,
+               nosavelogs=True, filename="aug_run")
+    opt.mosaic = 0.5
+    opt.hsv = True
+    opt.multi_scale = "64,96"
+    monkeypatch.chdir(tmp_path)
+    main(opt)  # completes without error; loss finite is asserted inside step
