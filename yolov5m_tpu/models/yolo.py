@@ -136,3 +136,28 @@ def create_model(cfg: Config):
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     model = YOLOv5(first_out=cfg.first_out, nc=cfg.nc, dtype=dtype)
     return model, jnp.asarray(normalized_anchors())
+
+
+if __name__ == "__main__":
+    # executable smoke block, reference model.py:242-268 parity: random batch
+    # through the model, assert the 3 output shapes, print forward latency
+    import time
+
+    import jax
+
+    batch_size, hw, nc = 2, 640, 80
+    model = YOLOv5(first_out=48, nc=nc, dtype=jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, hw, hw, 3)))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (batch_size, hw, hw, 3))
+
+    fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    out = jax.block_until_ready(fwd(variables, x))  # compile
+    start = time.time()
+    out = jax.block_until_ready(fwd(variables, x))
+    end = time.time()
+
+    assert out[0].shape == (batch_size, 3, hw // 8, hw // 8, nc + 5)
+    assert out[1].shape == (batch_size, 3, hw // 16, hw // 16, nc + 5)
+    assert out[2].shape == (batch_size, 3, hw // 32, hw // 32, nc + 5)
+    print("Success!")
+    print("feedforward took {:.4f} seconds".format(end - start))
