@@ -100,3 +100,87 @@ def test_classes_averaged():
              targets=dict(boxes=np.concatenate([box, box + 100]),
                           labels=[0, 1]))
     np.testing.assert_allclose(m.compute()["map_50"], 0.5, atol=1e-6)
+
+
+def _brute_force_ap(images, iou_t, cls):
+    """Independent AP computation, written from the COCO definition without
+    reusing MeanAveragePrecision's structures: global score sort, per-image
+    greedy matching re-derived from scratch, explicit 101-point integration."""
+    dets = []  # (score, image_idx, det_idx)
+    n_gt = 0
+    for idx, (preds, targets) in enumerate(images):
+        for d, (box, score, label) in enumerate(zip(*preds)):
+            if label == cls:
+                dets.append((score, idx, box))
+        n_gt += sum(1 for l in targets[1] if l == cls)
+    if n_gt == 0:
+        return None
+    dets.sort(key=lambda t: -t[0])
+    matched = {i: set() for i in range(len(images))}
+    tps = []
+    for score, img_idx, box in dets:
+        gts = [(g, b) for g, (b, l) in enumerate(zip(*images[img_idx][1]))
+               if l == cls and g not in matched[img_idx]]
+        best, best_iou = None, iou_t
+        for g, gbox in gts:
+            ix = max(0, min(box[2], gbox[2]) - max(box[0], gbox[0]))
+            iy = max(0, min(box[3], gbox[3]) - max(box[1], gbox[1]))
+            inter = ix * iy
+            u = ((box[2]-box[0])*(box[3]-box[1])
+                 + (gbox[2]-gbox[0])*(gbox[3]-gbox[1]) - inter + 1e-9)
+            if inter / u >= best_iou:
+                best, best_iou = g, inter / u
+        if best is not None:
+            matched[img_idx].add(best)
+            tps.append(1)
+        else:
+            tps.append(0)
+    tp = np.cumsum(tps)
+    fp = np.cumsum([1 - t for t in tps])
+    recall = tp / n_gt
+    prec = tp / np.maximum(tp + fp, 1e-9)
+    env = np.maximum.accumulate(prec[::-1])[::-1]
+    pts = np.linspace(0, 1, 101)
+    idxs = np.searchsorted(recall, pts, side="left")
+    interp = np.where(idxs < len(env), env[np.minimum(idxs, len(env)-1)], 0.0)
+    return float(interp.mean())
+
+
+def test_map_matches_brute_force(rng):
+    """Streaming mAP vs an independently-coded direct evaluator on random
+    multi-image data (greedy best-IoU matching semantics differ slightly in
+    tie-breaking: ours takes max-IoU among >= t, brute force the same)."""
+    images = []
+    m = MeanAveragePrecision(iou_thresholds=[0.5])
+    for _ in range(6):
+        ng = int(rng.integers(1, 6))
+        nd = int(rng.integers(0, 8))
+        gt_boxes = []
+        for _ in range(ng):
+            x1, y1 = rng.uniform(0, 400, 2)
+            gt_boxes.append([x1, y1, x1 + rng.uniform(20, 100),
+                             y1 + rng.uniform(20, 100)])
+        gt_labels = rng.integers(0, 3, ng).tolist()
+        det_boxes, det_scores, det_labels = [], [], []
+        for _ in range(nd):
+            if rng.random() < 0.6 and ng:   # jittered copy of a GT
+                g = int(rng.integers(0, ng))
+                b = np.asarray(gt_boxes[g]) + rng.normal(0, 6, 4)
+                det_labels.append(int(gt_labels[g] if rng.random() < 0.8
+                                      else rng.integers(0, 3)))
+            else:
+                x1, y1 = rng.uniform(0, 400, 2)
+                b = [x1, y1, x1 + rng.uniform(20, 100), y1 + rng.uniform(20, 100)]
+                det_labels.append(int(rng.integers(0, 3)))
+            det_boxes.append(np.asarray(b, np.float64))
+            det_scores.append(float(rng.uniform(0.1, 1)))
+        m.update(preds=dict(boxes=np.asarray(det_boxes).reshape(-1, 4),
+                            scores=det_scores, labels=det_labels),
+                 targets=dict(boxes=np.asarray(gt_boxes), labels=gt_labels))
+        images.append(((det_boxes, det_scores, det_labels),
+                       (gt_boxes, gt_labels)))
+
+    got = m.compute()["map_50"]
+    aps = [_brute_force_ap(images, 0.5, c) for c in range(3)]
+    aps = [a for a in aps if a is not None]
+    np.testing.assert_allclose(got, np.mean(aps), atol=1e-6)
