@@ -4,12 +4,18 @@ Faithful transcriptions of the reference loss math (reference loss.py:101-246
 and ultralytics_loss.py:60-311) written per-image/per-box with plain Python
 loops, used to validate the framework's vectorized on-device implementations.
 
-Two documented deviations, matching the framework's defined semantics:
+Three documented deviations, matching the framework's defined semantics:
   * ignore cells are excluded from the objectness BCE (the reference feeds
     obj target -1 into BCEWithLogitsLoss, which is unbounded below);
   * positives take precedence over ignore marks regardless of label order
     (the reference's sequential anchor_taken state makes a later box lose its
-    positive to an earlier box's ignore mark).
+    positive to an earlier box's ignore mark);
+  * a box whose best anchor-cell on a scale is already claimed by an earlier
+    box gets NO positive on that scale — the reference instead falls through
+    to the scale's next-best anchor at the same cell (anchor_taken walk,
+    reference loss.py:159-190). That fallback is label-order-sequential and
+    deliberately dropped from the vectorized tournament; see the deviation
+    note in yolov5m_tpu/train/targets.py.
 """
 
 import numpy as np

@@ -199,3 +199,88 @@ def test_mosaic_loader_integration(tiny_dataset):
     b = next(iter(loader))
     assert b["image"].shape == (4, 640, 640, 3)
     assert np.all(b["labels"][b["mask"]][:, 1:] <= 1.0)
+
+
+def test_epoch_rerandomizes_multiscale_sizes(tiny_dataset):
+    """The multi-scale size schedule must differ between epochs (reference
+    draws a fresh size per batch, utils/training_utils.py:11-28); each batch
+    stays internally scale-consistent (normalized labels are size-invariant)."""
+    ds = DetectionDataset(tiny_dataset, train=True, max_boxes=16)
+    buckets = (320, 352, 384, 416, 448, 480, 512, 544, 576, 608, 640)
+    loader = BatchLoader(ds, batch_size=1, shuffle=False,
+                         size_buckets=buckets)
+
+    def sizes_for_epoch(e):
+        loader.set_epoch(e)
+        out = []
+        for b in loader:
+            assert b["image"].shape[1] == b["image"].shape[2]
+            assert b["image"].shape[1] % 32 == 0
+            assert np.all(b["labels"][b["mask"]][:, 1:] <= 1.0)
+            out.append(b["image"].shape[1])
+        return out
+
+    seq0 = sizes_for_epoch(0)
+    seq0_again = sizes_for_epoch(0)
+    seq1 = sizes_for_epoch(1)
+    assert seq0 == seq0_again            # deterministic within an epoch
+    assert seq0 != seq1                  # re-randomized across epochs
+
+
+def test_epoch_rerandomizes_augmentation(tiny_dataset):
+    """Per-item augmentation draws must differ across epochs even with
+    shuffle off (rect training forces shuffle off — without epoch folding
+    every epoch repeated identical flips/rotations/mosaics)."""
+    ds = DetectionDataset(tiny_dataset, train=True, max_boxes=16)
+    loader = BatchLoader(ds, batch_size=4, shuffle=False,
+                         augment=TrainAugment(seed=1), mosaic_p=0.5, hsv=True)
+
+    def first_batch(e):
+        loader.set_epoch(e)
+        return next(iter(loader))
+
+    b0 = first_batch(0)
+    b0_again = first_batch(0)
+    b1 = first_batch(1)
+    np.testing.assert_array_equal(b0["image"], b0_again["image"])
+    assert not np.array_equal(b0["image"], b1["image"])
+
+
+def test_epoch_rerandomizes_shuffle_order(tiny_dataset):
+    ds = DetectionDataset(tiny_dataset, train=True, max_boxes=16)
+    loader = BatchLoader(ds, batch_size=8, shuffle=True)
+
+    def batch_labels(e):
+        loader.set_epoch(e)
+        return next(iter(loader))["labels"]
+
+    l0, l0b, l1 = batch_labels(0), batch_labels(0), batch_labels(1)
+    np.testing.assert_array_equal(l0, l0b)
+    assert not np.array_equal(l0, l1)
+
+
+def test_unletterbox_roundtrip_within_1px(rng):
+    """A box at a known original-image location survives
+    letterbox -> (letterbox-space coords) -> unletterbox within 1 px
+    (VERDICT round-1 item #7; reference rescale contract at
+    utils/bboxes_utils.py:116-126)."""
+    import numpy as np
+    from yolov5m_tpu.ops.boxes import unletterbox_boxes
+
+    h0, w0 = 480, 720
+    img = rng.integers(0, 255, (h0, w0, 3), np.uint8)
+    box_orig = np.array([100.0, 50.0, 400.0, 300.0])  # xyxy in source pixels
+
+    out, ratio, (dw, dh) = letterbox(img, (640, 640))
+    r = ratio[0]
+    box_lb = np.array([box_orig[0] * r + dw, box_orig[1] * r + dh,
+                       box_orig[2] * r + dw, box_orig[3] * r + dh])
+
+    back = np.asarray(unletterbox_boxes(box_lb, ratio, (dw, dh), (h0, w0)))
+    np.testing.assert_allclose(back, box_orig, atol=1.0)
+
+    # clipping: a box poking past the original image clamps to its bounds
+    poke = np.array([-5.0 * r + dw, -5.0 * r + dh,
+                     (w0 + 9) * r + dw, (h0 + 9) * r + dh])
+    clipped = np.asarray(unletterbox_boxes(poke, ratio, (dw, dh), (h0, w0)))
+    np.testing.assert_allclose(clipped, [0, 0, w0, h0], atol=1e-4)

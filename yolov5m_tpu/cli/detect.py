@@ -120,7 +120,17 @@ def main(opt):
     print(f"inference (incl. compile): {time.perf_counter() - t0:.2f}s")
 
     rows = det[valid]
-    print(f"{len(rows)} detections:")
+    # detections come out in 640-letterbox space; map back onto the source
+    # image (inverse resize + pad removal) so coordinates are user-facing
+    # original-image pixels, like the reference's rescale_bboxes contract
+    # (reference utils/bboxes_utils.py:116-126)
+    if len(rows):
+        from yolov5m_tpu.ops.boxes import unletterbox_boxes
+        rows = rows.copy()
+        rows[:, 2:6] = np.asarray(unletterbox_boxes(
+            rows[:, 2:6], ratio, (dw, dh), raw.shape[:2]))
+    print(f"{len(rows)} detections (original-image coords, "
+          f"{raw.shape[1]}x{raw.shape[0]}):")
     for r in rows:
         name = labels[int(r[0])] if int(r[0]) < len(labels) else str(int(r[0]))
         print(f"  {name:>14s} {r[1]:.3f} [{r[2]:.0f}, {r[3]:.0f}, {r[4]:.0f}, {r[5]:.0f}]")
@@ -129,7 +139,7 @@ def main(opt):
         os.makedirs(opt.out, exist_ok=True)
         out_path = os.path.join(
             opt.out, os.path.splitext(os.path.basename(opt.img))[0] + "_pred.png")
-        plot_image(img.astype(np.float32) / 255.0, rows, labels,
+        plot_image(raw.astype(np.float32) / 255.0, rows, labels,
                    save_path=out_path)
         print(f"saved {out_path}")
 

@@ -168,6 +168,7 @@ def main(opt):
     evaluator = Evaluator(model, anchors_norm, cfg, anchors_px)
 
     for epoch in range(starting_epoch, opt.epochs + starting_epoch):
+        train_loader.set_epoch(epoch)  # re-randomize augs/sizes each epoch
         if not opt.only_eval:
             t0 = time.time()
             epoch_loss, nb = 0.0, 0

@@ -246,7 +246,8 @@ class BatchLoader:
         self.bs = batch_size
         self.shuffle = shuffle and not dataset.rect
         self.augment = augment
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        self.epoch = 0
         self.drop_last = drop_last
         self.size_buckets = None
         if size_buckets and not dataset.rect:
@@ -269,17 +270,26 @@ class BatchLoader:
         n = len(self.ds)
         return n // self.bs if self.drop_last else (n + self.bs - 1) // self.bs
 
+    def set_epoch(self, epoch: int) -> None:
+        """Fold the epoch into every RNG stream (shuffle order, multi-scale
+        size choice, per-item augmentation) so successive epochs see different
+        randomness — the reference draws fresh sizes/augs per batch
+        (reference utils/training_utils.py:11-28); without this, rect training
+        (shuffle off) would repeat identical mosaics/flips/sizes every epoch."""
+        self.epoch = int(epoch)
+
     def __iter__(self) -> Iterator[dict]:
         order = np.arange(len(self.ds))
         if self.shuffle:
-            self.rng.shuffle(order)
+            # tuple-of-ints hash is deterministic across processes
+            # (PYTHONHASHSEED only perturbs str/bytes hashing)
+            np.random.default_rng(
+                hash((self.seed, self.epoch)) & 0x7FFFFFFF).shuffle(order)
         batches = []
         for start in range(0, len(order), self.bs):
             idxs = order[start:start + self.bs]
-            if len(idxs) < self.bs:
-                if self.drop_last:
-                    break
-                idxs = np.concatenate([idxs, order[: self.bs - len(idxs)]])
+            if len(idxs) < self.bs and self.drop_last:
+                break
             batches.append((idxs, start // self.bs))
 
         if self.prefetch_depth <= 0:
@@ -312,17 +322,27 @@ class BatchLoader:
     def _make_batch(self, idxs: np.ndarray, batch_idx: int) -> dict:
         hw = self.ds.item_shape(int(idxs[0]))
         if self.size_buckets is not None:
-            # deterministic per-batch choice (thread-safe under prefetch)
-            s = int(np.random.default_rng(batch_idx * 7919 + 13)
-                    .choice(self.size_buckets))
+            # deterministic per-(epoch, batch) choice (thread-safe under
+            # prefetch); epoch folded in so the size schedule re-randomizes
+            # every epoch like the reference's per-batch draw
+            s = int(np.random.default_rng(
+                hash((self.seed, self.epoch, batch_idx, -1)) & 0x7FFFFFFF)
+                .choice(self.size_buckets))
             hw = (s, s)
         nb = self.ds.max_boxes
-        imgs = np.zeros((len(idxs), hw[0], hw[1], 3), np.float32)
-        labels = np.zeros((len(idxs), nb, 5), np.float32)
-        mask = np.zeros((len(idxs), nb), bool)
+        # fixed batch shape: a short final batch (drop_last=False) is padded
+        # with zero images + empty labels, marked invalid in image_valid so
+        # the evaluator never double-counts (the old wrap-around padding fed
+        # duplicated images into mAP/accuracy)
+        imgs = np.zeros((self.bs, hw[0], hw[1], 3), np.float32)
+        labels = np.zeros((self.bs, nb, 5), np.float32)
+        mask = np.zeros((self.bs, nb), bool)
+        image_valid = np.zeros(self.bs, bool)
+        image_valid[:len(idxs)] = True
         for k, idx in enumerate(idxs):
             # per-item deterministic rng: thread-safe under prefetch
-            item_rng = np.random.default_rng((hash((batch_idx, k)) & 0x7FFFFFFF))
+            item_rng = np.random.default_rng(
+                hash((self.seed, self.epoch, batch_idx, k)) & 0x7FFFFFFF)
             if self.mosaic_p > 0 and item_rng.random() < self.mosaic_p \
                     and hw[0] == hw[1]:
                 from yolov5m_tpu.data.augment import mosaic4
@@ -343,4 +363,5 @@ class BatchLoader:
             if n:
                 labels[k, :n] = lab[:n]
                 mask[k, :n] = True
-        return {"image": imgs / 255.0, "labels": labels, "mask": mask}
+        return {"image": imgs / 255.0, "labels": labels, "mask": mask,
+                "image_valid": image_valid}

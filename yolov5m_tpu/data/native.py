@@ -29,9 +29,15 @@ def _load_lib() -> Optional[ctypes.CDLL]:
         return _lib
     _lib_tried = True
     try:
-        if not os.path.isfile(_LIB_PATH) and os.path.isfile(
-                os.path.join(_NATIVE_DIR, "Makefile")):
-            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+        # always (re)build from source when the .so is missing or older than
+        # preprocess.cc — the binary is never version-controlled (gitignored),
+        # so what loads is provably what the checked-in source produces
+        src = os.path.join(_NATIVE_DIR, "preprocess.cc")
+        stale = (not os.path.isfile(_LIB_PATH)
+                 or (os.path.isfile(src)
+                     and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)))
+        if stale and os.path.isfile(os.path.join(_NATIVE_DIR, "Makefile")):
+            subprocess.run(["make", "-C", _NATIVE_DIR, "-B"], check=True,
                            capture_output=True, timeout=120)
         lib = ctypes.CDLL(_LIB_PATH)
         u8p = ctypes.POINTER(ctypes.c_uint8)

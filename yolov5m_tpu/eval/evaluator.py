@@ -92,7 +92,14 @@ class Evaluator:
             counts += np.asarray(c)
             det = np.asarray(det)
             det_valid = np.asarray(det_valid)
+            # rows padded to complete a short final batch are marked invalid
+            # by the loader — skip them so no image is ever counted twice
+            # (nor a zero-padded blank counted at all)
+            image_valid = np.asarray(batch.get(
+                "image_valid", np.ones(det.shape[0], bool)))
             for b in range(det.shape[0]):
+                if not image_valid[b]:
+                    continue
                 keep = det_valid[b]
                 gt_mask = batch["mask"][b]
                 gt = batch["labels"][b][gt_mask]

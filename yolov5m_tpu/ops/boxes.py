@@ -181,3 +181,23 @@ def rescale_boxes(boxes: jnp.ndarray, starting_size, ending_size) -> jnp.ndarray
     ew, eh = ending_size
     scale = jnp.asarray([ew / sw, eh / sh, ew / sw, eh / sh], dtype=boxes.dtype)
     return jnp.floor(boxes[..., :4] * scale * 100) / 100
+
+
+def unletterbox_boxes(boxes, ratio, dwdh, orig_hw):
+    """Map xyxy boxes from letterbox space back onto the original image.
+
+    Inverse of data.native.letterbox's geometry (resize by `ratio`, pad by
+    (dw, dh)); the reference's analog is rescale_bboxes
+    (reference utils/bboxes_utils.py:116-126), which only handles the plain
+    resize — this also removes the letterbox padding and clips to the
+    original image bounds. Works on numpy or jnp arrays (..., >=4) with the
+    box in the first 4 columns.
+    """
+    rw, rh = (ratio, ratio) if not hasattr(ratio, "__len__") else ratio
+    dw, dh = dwdh
+    h0, w0 = orig_hw
+    x1 = jnp.clip((boxes[..., 0] - dw) / rw, 0, w0)
+    y1 = jnp.clip((boxes[..., 1] - dh) / rh, 0, h0)
+    x2 = jnp.clip((boxes[..., 2] - dw) / rw, 0, w0)
+    y2 = jnp.clip((boxes[..., 3] - dh) / rh, 0, h0)
+    return jnp.stack([x1, y1, x2, y2], axis=-1)

@@ -18,6 +18,22 @@ Assignment semantics (reference loss.py:118-191):
     with a scatter-min tournament on the box index instead of sequential
     state.
 
+Intentional deviation #3 (documented, not a bug): in the reference, a box
+that finds its scale's best anchor-cell already claimed falls through to the
+scale's NEXT-best anchor at the same cell (the descending global anchor walk
+with `anchor_taken`, reference loss.py:159-190), with strict label-order
+priority across those fallback claims. That resolution is a serial
+dictatorship — each claim depends on every earlier box's outcome, including
+earlier boxes' own fallbacks — so it cannot be expressed as a fixed number of
+parallel tournament rounds without changing who wins in conflict chains.
+Here a losing box simply gets no positive on that scale (it usually still has
+positives on the other two scales). This only differs when two real boxes
+share both the same cell AND the same best anchor at a scale — rare at P3/P4
+granularity. The numpy goldens in tests/loss_golden.py encode these same
+semantics on purpose (deviations #1/#2 are noted there), so parity tests
+validate the implementation against the *intended* spec, not the reference's
+sequential fallback.
+
 Grid target channels: (x_cell, y_cell, w_cell, h_cell, obj, class), matching
 reference dataset.py:393-409.
 """
