@@ -179,3 +179,32 @@ def test_nms_pallas_empty_and_cap(rng):
     out, valid = batched_nms(jnp.asarray(rows), 0.5, 0.25, 300, 128,
                              backend="pallas", interpret=True)
     assert int(np.asarray(valid).sum()) == 0
+
+
+def test_nms_fixpoint_matches_loop_backend(rng):
+    """Default (fixpoint) backend vs the sequential fori_loop backend must be
+    bit-identical on random data."""
+    batch = np.stack([_random_rows(rng, 256) for _ in range(4)])
+    out_f, valid_f = batched_nms(jnp.asarray(batch), 0.55, 0.1, 300, 128)
+    out_l, valid_l = batched_nms(jnp.asarray(batch), 0.55, 0.1, 300, 128,
+                                 backend="xla_loop")
+    np.testing.assert_array_equal(np.asarray(valid_f), np.asarray(valid_l))
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_l), rtol=1e-6)
+
+
+def test_nms_fixpoint_worst_case_chain():
+    """Adversarial alternating suppression chain: box i overlaps only box
+    i±1 (IoU .43), scores descending — greedy keeps exactly the evens. The
+    fixpoint iteration needs ~n/2 rounds here (its worst case), so this
+    catches any fixed-iteration-cap shortcut that isn't a true fixpoint."""
+    n = 64
+    rows = np.zeros((n, 6), np.float32)
+    for i in range(n):
+        rows[i] = [0, 0.99 - i * 0.01, 20.0 * i + 25.0, 100.0, 50.0, 50.0]
+    out, valid = batched_nms(jnp.asarray(rows[None]), 0.3, 0.01, 300, 128)
+    kept = np.asarray(out[0])[np.asarray(valid[0])]
+    exp = np_greedy_nms(rows, 0.3, 0.01)
+    np.testing.assert_allclose(kept, exp, rtol=1e-5)
+    # sanity: the survivors are exactly the even-indexed boxes
+    np.testing.assert_allclose(sorted(kept[:, 2]),
+                               [20.0 * i for i in range(0, n, 2)], atol=1e-3)

@@ -27,7 +27,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from yolov5m_tpu.ops.nms import NEG_INF, _compact, _greedy_suppress
+from yolov5m_tpu.ops.nms import (
+    NEG_INF, _compact, _greedy_suppress, _greedy_suppress_fixpoint,
+    _suppress_matrix)
 from yolov5m_tpu.ops.boxes import pairwise_iou_xyxy
 
 
@@ -99,13 +101,16 @@ def fused_detect(
     if backend == "pallas":
         from yolov5m_tpu.ops.pallas import greedy_suppress_pallas
         keep = greedy_suppress_pallas(boxes, cls, valid, iou_threshold)
-    else:
+    elif backend == "xla_loop":
         def suppress_one(b, c, v):
             iou = pairwise_iou_xyxy(b, b)
             mat = (iou > iou_threshold) & (c[:, None] == c[None, :])
             return _greedy_suppress(mat, v)
 
         keep = jax.vmap(suppress_one)(boxes, cls, valid)
+    else:
+        keep = _greedy_suppress_fixpoint(
+            _suppress_matrix(boxes, cls, iou_threshold), valid)
 
     return jax.vmap(functools.partial(_compact, max_detections=max_detections))(
         boxes, cls, conf, keep)
