@@ -184,3 +184,248 @@ def test_map_matches_brute_force(rng):
     aps = [_brute_force_ap(images, 0.5, c) for c in range(3)]
     aps = [a for a in aps if a is not None]
     np.testing.assert_allclose(got, np.mean(aps), atol=1e-6)
+
+
+# --------------------------------------------------------------------------
+# COCOeval-semantics edge cases + property tests (VERDICT round-1 item #6).
+# torchmetrics/pycocotools are not installable here (zero egress); these
+# encode COCOeval's documented behaviors derived on paper, and the parity
+# tests at the bottom activate automatically the moment either package is
+# importable.
+# --------------------------------------------------------------------------
+
+
+def test_score_ties_stable_order():
+    """Identical scores: COCOeval sorts with a stable mergesort, so update
+    order decides the greedy order. First-listed tied detection takes the GT;
+    the result must be deterministic across repeated computes."""
+    gt = np.array([_box(0, 0, 100, 100)])
+    near = np.array([_box(0, 0, 100, 95)])    # iou ~0.95
+    far = np.array([_box(0, 0, 100, 60)])     # iou 0.6
+    m = MeanAveragePrecision(iou_thresholds=[0.5])
+    m.update(preds=dict(boxes=np.concatenate([far, near]),
+                        scores=[0.7, 0.7], labels=[0, 0]),
+             targets=dict(boxes=gt, labels=[0]))
+    # far (listed first) takes the GT at t=0.5; near becomes FP.
+    # 1 GT, TP first: precision 1.0 at recall 1.0 → AP = 1.0
+    r1 = m.compute()["map_50"]
+    r2 = m.compute()["map_50"]
+    assert r1 == r2 == 1.0
+
+
+def test_per_threshold_independent_matching():
+    """Each IoU threshold matches greedily and independently: det1 (higher
+    score, IoU .6) takes the GT at t=.5 while at t=.75 it fails and det2
+    (IoU .9) must take it instead — matching at one threshold must never
+    leak into another."""
+    gt = np.array([_box(0, 0, 100, 100)])
+    det1 = np.array([_box(0, 0, 100, 60)])    # iou = 0.6
+    det2 = np.array([_box(0, 0, 100, 90)])    # iou = 0.9
+    m = MeanAveragePrecision(iou_thresholds=[0.5, 0.75])
+    m.update(preds=dict(boxes=np.concatenate([det1, det2]),
+                        scores=[0.9, 0.8], labels=[0, 0]),
+             targets=dict(boxes=gt, labels=[0]))
+    r = m.compute()
+    # t=.5: det1 TP (r=1,p=1), det2 FP → AP=1. t=.75: det1 FP, det2 TP at
+    # rank 2 → precision .5 at recall 1 → 101-pt AP = .5
+    assert r["map_50"] == 1.0
+    np.testing.assert_allclose(r["map_75"], 0.5, atol=1e-6)
+
+
+def test_greedy_prefers_highest_iou_gt():
+    """A detection overlapping two free GTs takes the higher-IoU one
+    (COCOeval picks argmax IoU among unmatched GTs above threshold)."""
+    gt_a = np.array([_box(0, 0, 100, 100)])
+    gt_b = np.array([_box(0, 0, 100, 70)])
+    det = np.array([_box(0, 0, 100, 80)])  # IoU: 0.8 vs A, 0.875 vs B
+    m = MeanAveragePrecision(iou_thresholds=[0.5])
+    m.update(preds=dict(boxes=det, scores=[0.9], labels=[0]),
+             targets=dict(boxes=np.concatenate([gt_a, gt_b]), labels=[0, 0]))
+    # det takes B; A unmatched → recall stops at 0.5 with precision 1.0
+    np.testing.assert_allclose(m.compute()["map_50"], 51 / 101, atol=1e-6)
+
+
+def test_predicted_only_class_excluded_from_mean():
+    """COCOeval averages over classes present in GT; a class that appears
+    only in predictions must not drag the mean (it has no AP entry)."""
+    box = np.array([_box(0, 0, 10, 10)])
+    m = MeanAveragePrecision(iou_thresholds=[0.5])
+    m.update(preds=dict(boxes=np.concatenate([box, box + 100]),
+                        scores=[0.9, 0.95], labels=[0, 7]),  # class 7: no GT
+             targets=dict(boxes=box, labels=[0]))
+    assert m.compute()["map_50"] == 1.0
+    assert 7 not in m.compute()["ap_per_class"]
+
+
+def test_gt_class_never_predicted_scores_zero():
+    """A GT class with zero predictions contributes AP=0 (not NaN/skip)."""
+    box = np.array([_box(0, 0, 10, 10)])
+    m = MeanAveragePrecision(iou_thresholds=[0.5])
+    m.update(preds=dict(boxes=box, scores=[0.9], labels=[0]),
+             targets=dict(boxes=np.concatenate([box, box + 50]),
+                          labels=[0, 3]))
+    r = m.compute()
+    np.testing.assert_allclose(r["map_50"], 0.5, atol=1e-6)
+    assert r["ap_per_class"][3] == 0.0
+
+
+def test_max_det_truncation():
+    """maxDets semantics (COCO keeps top-100 by score): with max_det=1 only
+    the highest-scoring detection survives — here the FP outranks the TP, so
+    AP drops to 0; untruncated the TP at rank 2 gives precision .5 at
+    recall 1 → AP = 0.5."""
+    gt = np.array([_box(0, 0, 100, 100)])
+    tp_det = np.array([_box(0, 0, 100, 100)])
+    fp_det = np.array([_box(500, 500, 600, 600)])
+    dets = np.concatenate([fp_det, tp_det])
+
+    full = MeanAveragePrecision(iou_thresholds=[0.5])
+    full.update(preds=dict(boxes=dets, scores=[0.9, 0.8], labels=[0, 0]),
+                targets=dict(boxes=gt, labels=[0]))
+    trunc = MeanAveragePrecision(iou_thresholds=[0.5], max_det=1)
+    trunc.update(preds=dict(boxes=dets, scores=[0.9, 0.8], labels=[0, 0]),
+                 targets=dict(boxes=gt, labels=[0]))
+    np.testing.assert_allclose(full.compute()["map_50"], 0.5, atol=1e-6)
+    assert trunc.compute()["map_50"] == 0.0
+
+
+def _random_image_set(rng, n_images=8, nc=3):
+    images = []
+    for _ in range(n_images):
+        ng = int(rng.integers(1, 6))
+        nd = int(rng.integers(0, 9))
+        gt_boxes, gt_labels = [], []
+        for _ in range(ng):
+            x1, y1 = rng.uniform(0, 400, 2)
+            gt_boxes.append([x1, y1, x1 + rng.uniform(20, 100),
+                             y1 + rng.uniform(20, 100)])
+            gt_labels.append(int(rng.integers(0, nc)))
+        det_boxes, det_scores, det_labels = [], [], []
+        for _ in range(nd):
+            if rng.random() < 0.6:
+                g = int(rng.integers(0, ng))
+                b = (np.asarray(gt_boxes[g]) + rng.normal(0, 8, 4)).tolist()
+                det_labels.append(int(gt_labels[g] if rng.random() < 0.8
+                                      else rng.integers(0, nc)))
+            else:
+                x1, y1 = rng.uniform(0, 400, 2)
+                b = [x1, y1, x1 + rng.uniform(20, 100),
+                     y1 + rng.uniform(20, 100)]
+                det_labels.append(int(rng.integers(0, nc)))
+            det_boxes.append(b)
+            det_scores.append(float(rng.uniform(0.1, 1)))
+        images.append((dict(boxes=np.asarray(det_boxes, np.float32).reshape(-1, 4),
+                            scores=np.asarray(det_scores, np.float32),
+                            labels=np.asarray(det_labels, int)),
+                       dict(boxes=np.asarray(gt_boxes, np.float32),
+                            labels=np.asarray(gt_labels, int))))
+    return images
+
+
+def _full_compute(images, **kw):
+    m = MeanAveragePrecision(**kw)
+    for preds, targets in images:
+        m.update(preds=preds, targets=targets)
+    return m.compute()
+
+
+def test_property_image_order_invariance(rng):
+    """Permuting the image update order must not change any metric."""
+    images = _random_image_set(rng)
+    a = _full_compute(images)
+    perm = [images[i] for i in rng.permutation(len(images))]
+    b = _full_compute(perm)
+    for k in ("map", "map_50", "map_75"):
+        np.testing.assert_allclose(a[k], b[k], atol=1e-12)
+    assert a["ap_per_class"] == b["ap_per_class"]
+
+
+def test_property_monotone_score_transform_invariance(rng):
+    """mAP depends on score *order* only: any strictly increasing transform
+    of the scores (x/2, x², affine) must leave every metric unchanged."""
+    images = _random_image_set(rng)
+    base = _full_compute(images)
+    for f in (lambda s: s / 2, lambda s: s ** 2, lambda s: 0.1 + 0.8 * s):
+        xf = [(dict(preds, scores=f(np.asarray(preds["scores"]))), targets)
+              for preds, targets in images]
+        got = _full_compute(xf)
+        for k in ("map", "map_50", "map_75"):
+            np.testing.assert_allclose(base[k], got[k], atol=1e-12), f
+
+
+def test_property_duplicating_every_image_is_invariant(rng):
+    """Evaluating every image exactly twice scales TP/FP/GT uniformly and
+    must leave AP unchanged (sanity for the double-counting class of bugs —
+    it shifts nothing only when *all* images duplicate, which is why the
+    loader-level wrap-around bug biased real runs)."""
+    images = _random_image_set(rng)
+    a = _full_compute(images)
+    b = _full_compute(images + images)
+    for k in ("map", "map_50", "map_75"):
+        np.testing.assert_allclose(a[k], b[k], atol=1e-9)
+
+
+# ---- external-parity harnesses: auto-activate when the package exists ----
+
+
+def test_torchmetrics_parity_if_available(rng):
+    """Runs the reference's actual metric (torchmetrics MeanAveragePrecision,
+    reference utils/validation_utils.py:7,128-133) against ours on random
+    data. Skips where torchmetrics isn't installed (zero-egress image);
+    activates automatically in any richer environment."""
+    pytest = __import__("pytest")
+    tm = pytest.importorskip("torchmetrics.detection")
+    torch = pytest.importorskip("torch")
+    images = _random_image_set(rng, n_images=10)
+    theirs = tm.MeanAveragePrecision(iou_type="bbox")
+    for preds, targets in images:
+        theirs.update(
+            [dict(boxes=torch.tensor(preds["boxes"]),
+                  scores=torch.tensor(preds["scores"]),
+                  labels=torch.tensor(preds["labels"]))],
+            [dict(boxes=torch.tensor(targets["boxes"]),
+                  labels=torch.tensor(targets["labels"]))])
+        ref = theirs.compute()
+    ours = _full_compute(images, max_det=100)  # torchmetrics maxDets=100
+    np.testing.assert_allclose(ours["map_50"], float(ref["map_50"]), atol=5e-3)
+    np.testing.assert_allclose(ours["map_75"], float(ref["map_75"]), atol=5e-3)
+    np.testing.assert_allclose(ours["map"], float(ref["map"]), atol=5e-3)
+
+
+def test_pycocotools_parity_if_available(rng):
+    """Same idea against pycocotools COCOeval directly."""
+    pytest = __import__("pytest")
+    pytest.importorskip("pycocotools.coco")
+    from pycocotools.coco import COCO
+    from pycocotools.cocoeval import COCOeval
+
+    images = _random_image_set(rng, n_images=10)
+    gt = {"images": [], "annotations": [], "categories":
+          [{"id": c} for c in range(3)]}
+    dets = []
+    ann_id = 1
+    for i, (preds, targets) in enumerate(images):
+        gt["images"].append({"id": i})
+        for b, l in zip(targets["boxes"], targets["labels"]):
+            gt["annotations"].append({
+                "id": ann_id, "image_id": i, "category_id": int(l),
+                "bbox": [float(b[0]), float(b[1]),
+                         float(b[2] - b[0]), float(b[3] - b[1])],
+                "area": float((b[2] - b[0]) * (b[3] - b[1])),
+                "iscrowd": 0})
+            ann_id += 1
+        for b, s, l in zip(preds["boxes"], preds["scores"], preds["labels"]):
+            dets.append({"image_id": i, "category_id": int(l),
+                         "bbox": [float(b[0]), float(b[1]),
+                                  float(b[2] - b[0]), float(b[3] - b[1])],
+                         "score": float(s)})
+    coco = COCO()
+    coco.dataset = gt
+    coco.createIndex()
+    ev = COCOeval(coco, coco.loadRes(dets), "bbox")
+    ev.params.areaRng = [[0, 1e10]]
+    ev.params.areaRngLbl = ["all"]
+    ev.evaluate(); ev.accumulate(); ev.summarize()
+    ours = _full_compute(images, max_det=100)
+    np.testing.assert_allclose(ours["map"], ev.stats[0], atol=5e-3)
+    np.testing.assert_allclose(ours["map_50"], ev.stats[1], atol=5e-3)

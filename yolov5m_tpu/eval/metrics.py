@@ -44,9 +44,15 @@ class MeanAveragePrecision:
     targets: dict(boxes=(m,4) xyxy, labels=(m,))
     """
 
-    def __init__(self, iou_thresholds: Optional[Sequence[float]] = None):
+    def __init__(self, iou_thresholds: Optional[Sequence[float]] = None,
+                 max_det: Optional[int] = None):
+        """max_det: COCOeval's maxDets — keep only the top-k detections per
+        image by score (COCO uses 100; torchmetrics' headline `map` likewise).
+        Default None: the detection pipeline already caps at 300 via NMS
+        (reference bboxes_utils.py:207)."""
         self.iou_thresholds = np.asarray(
             iou_thresholds if iou_thresholds is not None else IOU_THRESHOLDS)
+        self.max_det = max_det
         self._records: List[tuple] = []   # (scores, tp_matrix, pred_cls)
         self._gt_counts: Dict[int, int] = {}
 
@@ -65,6 +71,10 @@ class MeanAveragePrecision:
 
         order = np.argsort(-scores, kind="stable")
         boxes, scores, labels = boxes[order], scores[order], labels[order]
+        if self.max_det is not None:
+            boxes = boxes[: self.max_det]
+            scores = scores[: self.max_det]
+            labels = labels[: self.max_det]
 
         nt = len(self.iou_thresholds)
         tp = np.zeros((len(boxes), nt), bool)
