@@ -6,14 +6,24 @@ classes) forward + decode + class-aware NMS, all on-device in one jit.
 a plain-PyTorch A100 yolov5m 640 batch-inference figure, so target = 600
 img/s and vs_baseline = value / 600 (>1.0 beats the target).
 
+Measurement integrity (lessons from round 1, see CLAUDE.md + healthcheck.py):
+  * a chip healthcheck runs first and its result is embedded in the JSON, so
+    a capture taken inside a degradation window is self-describing;
+  * timed iterations are dependency-chained through a device-side scalar
+    accumulator and the final scalar is fetched to the host — fetching real
+    data forces true completion (`block_until_ready` has been observed to
+    return early on this relay, healthcheck.py:17-20), and the chain means
+    one fetch proves every iteration ran;
+  * inputs are distinct device-resident batches (identical repeated
+    executions can be result-cached by remote-execution relays).
+
 Prints exactly one JSON line.
 """
 
+import importlib.util
 import json
 import os
 import time
-
-import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -25,18 +35,34 @@ from yolov5m_tpu.models.yolo import normalized_anchors
 from yolov5m_tpu.ops.postprocess import fused_detect
 
 A100_TARGET_IMG_S = 600.0  # 2x ~300 img/s (plain-torch A100 yolov5m batch inference)
+_HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def run_healthcheck() -> dict:
+    """Amortized matmul-chain probe (benchmarks/healthcheck.py), quiet."""
+    spec = importlib.util.spec_from_file_location(
+        "healthcheck", os.path.join(_HERE, "benchmarks", "healthcheck.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    if jax.devices()[0].platform == "cpu":
+        # CPU smoke run (not the bench target): tiny probe, no health verdict
+        r = mod.main(n=512, iters=2, verbose=False)
+        r["healthy"] = None
+        return r
+    return mod.main(verbose=False)
 
 
 def main(batch_size: int = 64, iters: int = 24, warmup: int = 1) -> None:
     # persistent compile cache: repeated bench runs (the driver's included)
     # skip the multi-minute remote compile of the full pipeline
     try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(_HERE, ".jax_cache"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+
+    health = run_healthcheck()
 
     cfg = Config()
     base = YOLOv5(first_out=cfg.first_out, nc=cfg.nc, dtype=jnp.bfloat16)
@@ -48,39 +74,43 @@ def main(batch_size: int = 64, iters: int = 24, warmup: int = 1) -> None:
     anchors = jnp.asarray(normalized_anchors())
 
     @jax.jit
-    def infer(v, x):
-        preds = model.apply(v, x, train=False)
-        return fused_detect(preds, anchors, conf_threshold=0.25,
-                            iou_threshold=cfg.nms_iou_thresh,
-                            max_detections=cfg.max_detections,
-                            pre_nms_topk=cfg.pre_nms_topk)
+    def infer(v, x, acc):
+        # acc folds into the input so iteration i+1 depends on iteration i:
+        # fetching the final acc forces the whole timed chain to completion
+        preds = model.apply(v, x + (acc * 0).astype(x.dtype), train=False)
+        det, valid = fused_detect(preds, anchors, conf_threshold=0.25,
+                                  iou_threshold=cfg.nms_iou_thresh,
+                                  max_detections=cfg.max_detections,
+                                  pre_nms_topk=cfg.pre_nms_topk)
+        return det, valid, acc + valid.sum().astype(jnp.float32)
 
-    # distinct device-resident batches: repeated identical executions can be
-    # result-cached by remote-execution relays, inflating throughput.
-    # Generated on device — host→device uploads of many 640³ batches are
-    # slow over tunneled transports.
+    # distinct device-resident batches: generated on device — host→device
+    # uploads of many 640² batches are slow over tunneled transports
     gen = jax.jit(lambda k: jax.random.uniform(
         k, (batch_size, 640, 640, 3), jnp.float32))
     xs = [gen(jax.random.PRNGKey(i)) for i in range(8)]
     jax.block_until_ready(xs)
 
+    acc = jnp.float32(0.0)
     for i in range(warmup * len(xs)):
-        det, valid = infer(variables, xs[i % len(xs)])
-    det.block_until_ready()
+        det, valid, acc = infer(variables, xs[i % len(xs)], acc)
+    float(acc)  # full sync before the probe
 
     # adapt the iteration count to current device speed so the bench always
     # finishes (the tunneled chip has been observed degraded 50x for hours)
     t0 = time.perf_counter()
-    det, valid = infer(variables, xs[0])
-    det.block_until_ready()
+    det, valid, acc = infer(variables, xs[0], acc)
+    float(acc)
     probe = time.perf_counter() - t0
     iters = max(4, min(iters, int(90.0 / max(probe, 1e-3))))
 
+    acc = jnp.float32(0.0)
     t0 = time.perf_counter()
     for i in range(iters):
-        det, valid = infer(variables, xs[(i + 1) % len(xs)])
-    det.block_until_ready()
+        det, valid, acc = infer(variables, xs[(i + 1) % len(xs)], acc)
+    n_detections = float(acc)  # scalar fetch: forces the full chain
     dt = time.perf_counter() - t0
+    assert n_detections >= 0.0
 
     img_s = batch_size * iters / dt
     print(json.dumps({
@@ -88,6 +118,10 @@ def main(batch_size: int = 64, iters: int = 24, warmup: int = 1) -> None:
         "value": round(img_s, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_s / A100_TARGET_IMG_S, 3),
+        "healthy": health.get("healthy"),
+        "matmul_tflops": health.get("matmul_tflops"),
+        "device": health.get("device"),
+        "iters": iters,
     }))
 
 

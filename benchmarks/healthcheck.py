@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 
-def main(n: int = 8192, iters: int = 8) -> dict:
+def main(n: int = 8192, iters: int = 8, verbose: bool = True) -> dict:
     # One jit containing a chain of `iters` matmuls, result fetched as a
     # scalar: the fetch forces true completion (block_until_ready alone has
     # been observed to return early on this relay), and the chain amortizes
@@ -39,7 +39,8 @@ def main(n: int = 8192, iters: int = 8) -> dict:
         "ms_per_matmul": round(dt * 1000, 2),
         "device": str(jax.devices()[0]),
     }
-    print(json.dumps(result))
+    if verbose:
+        print(json.dumps(result))
     return result
 
 
