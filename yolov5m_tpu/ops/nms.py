@@ -103,6 +103,21 @@ def _greedy_suppress_fixpoint(smat: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndar
     return a
 
 
+def resolve_backend(backend: str, k: int) -> str:
+    """Resolve backend="auto" to the fastest backend for this K.
+
+    Policy: the fixpoint XLA backend is the default everywhere — on a healthy
+    v5e it beats both the sequential scan and the Pallas kernel because the
+    per-step matvec rides the MXU and XLA overlaps the suppress-matrix build
+    with the surrounding graph. The Pallas kernel (VMEM-resident S) is kept
+    for K where HBM re-streaming of S would dominate; measured crossover
+    pending a healthy-chip window (see ROUND2_NOTES.md).
+    """
+    if backend != "auto":
+        return backend
+    return "xla"
+
+
 def _suppress_matrix(boxes: jnp.ndarray, cls: jnp.ndarray,
                      iou_threshold: float) -> jnp.ndarray:
     """(bs, K, K) bf16 0/1 matrix: i suppresses j (same class, IoU>t, j>i)."""
@@ -168,6 +183,7 @@ def batched_nms(rows, iou_threshold, conf_threshold, max_detections=300,
     """
     n = rows.shape[1]
     k = min(pre_nms_topk, n)
+    backend = resolve_backend(backend, k)
 
     boxes, cls, conf, valid = jax.vmap(
         functools.partial(_prepare, conf_threshold=conf_threshold, k=k))(rows)

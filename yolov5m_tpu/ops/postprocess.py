@@ -29,7 +29,7 @@ import numpy as np
 
 from yolov5m_tpu.ops.nms import (
     NEG_INF, _compact, _greedy_suppress, _greedy_suppress_fixpoint,
-    _suppress_matrix)
+    _suppress_matrix, resolve_backend)
 from yolov5m_tpu.ops.boxes import pairwise_iou_xyxy
 
 
@@ -80,6 +80,7 @@ def fused_detect(
 
     n = flat.shape[1]
     k = min(pre_nms_topk, n)
+    backend = resolve_backend(backend, k)
     # gate on logits: sigmoid is monotone
     logit_thresh = float(np.log(conf_threshold / (1.0 - conf_threshold)))
     gated = jnp.where(obj_logit > logit_thresh, obj_logit, NEG_INF)

@@ -66,14 +66,29 @@ def local_batch_slice(global_batch_size: int) -> slice:
 
 
 def replicate_state(state: TrainState, mesh: Mesh) -> TrainState:
-    """Place the TrainState fully-replicated on every mesh device."""
+    """Place the TrainState fully-replicated on every mesh device.
+
+    Multi-host: every process holds the identical full value (same init
+    seed / same checkpoint), so the host-local value IS the global value and
+    assembles directly onto the process-spanning sharding."""
     sharding = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), state)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), state)
 
 
 def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
-    """Shard the leading (batch) axis of every array over the mesh."""
+    """Shard the leading (batch) axis of every array over the mesh.
+
+    Multi-host: each process passes only its local shard of the global batch
+    (see local_batch_slice); the global array is assembled across processes
+    without any cross-host data movement."""
     sharding = NamedSharding(mesh, P(axis))
+    if jax.process_count() > 1:
+        return {k: jax.make_array_from_process_local_data(
+                    sharding, np.asarray(v)) for k, v in batch.items()}
     return {k: jax.device_put(v, sharding) for k, v in batch.items()}
 
 
