@@ -1,0 +1,127 @@
+"""One-shot healthy-window measurement battery (round-2 queue).
+
+Run when healthcheck reports >100 TFLOP/s. Executes, in order:
+  1. headline bench (bench.py as a subprocess — the driver-identical capture)
+  2. NMS backend A/B: fixpoint XLA vs sequential-scan XLA vs Pallas, full
+     pipeline at bs=64, K=1024 and K=2048
+  3. s2d stem A/B: default 6x6/s2 stem vs space-to-depth 3x3 stem (fwd-only
+     and full fused pipeline)
+  4. train-step decomposition (profile_train_decomp.py subprocess)
+
+Prints a section per stage; paste results into ROUND2_NOTES.md.
+"""
+
+import os
+import subprocess
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_REPO = os.path.dirname(_HERE)
+sys.path.insert(0, _REPO)
+
+
+def section(title):
+    print(f"\n===== {title} =====", flush=True)
+
+
+def bench_fn(name, fn, xs, bs, n_rounds=3):
+    rs = [fn(x) for x in xs]
+    jax.block_until_ready(rs)
+    # forced scalar fetch on top of block_until_ready (relay lesson)
+    float(jax.tree.leaves(rs[-1])[0].sum())
+    t0 = time.perf_counter()
+    for _ in range(n_rounds):
+        rs = [fn(x) for x in xs]
+    jax.block_until_ready(rs)
+    float(jax.tree.leaves(rs[-1])[0].sum())
+    dt = (time.perf_counter() - t0) / (n_rounds * len(xs))
+    print(f"{name:44s} {dt*1000:7.2f} ms/batch  {bs/dt:7.1f} img/s", flush=True)
+    return dt
+
+
+def main():
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(_REPO, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    section("healthcheck")
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "healthcheck", os.path.join(_HERE, "healthcheck.py"))
+    hc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(hc)
+    health = hc.main()
+    if not health["healthy"] and "--force" not in sys.argv:
+        print("chip degraded — aborting (use --force to run anyway)")
+        return
+
+    section("1. headline bench (bench.py)")
+    subprocess.run([sys.executable, os.path.join(_REPO, "bench.py")],
+                   check=False)
+
+    from yolov5m_tpu.models import YOLOv5
+    from yolov5m_tpu.models.fuse import fold_batchnorm
+    from yolov5m_tpu.models.s2d import stem_weights_to_s2d
+    from yolov5m_tpu.models.yolo import normalized_anchors
+    from yolov5m_tpu.ops.postprocess import fused_detect
+
+    bs = 64
+    model = YOLOv5(first_out=48, nc=80, dtype=jnp.bfloat16, fused=True)
+    base = YOLOv5(first_out=48, nc=80, dtype=jnp.bfloat16)
+    fvars = fold_batchnorm(
+        base.init(jax.random.PRNGKey(0), jnp.zeros((1, 640, 640, 3))))
+    anchors = jnp.asarray(normalized_anchors())
+    gen = jax.jit(lambda k: jax.random.uniform(k, (bs, 640, 640, 3), jnp.float32))
+    xs = [gen(jax.random.PRNGKey(i)) for i in range(8)]
+    jax.block_until_ready(xs)
+
+    section("2. NMS backend A/B (full fused pipeline)")
+    for k in (1024, 2048):
+        for backend in ("xla", "xla_loop", "pallas"):
+            f = jax.jit(lambda x, b=backend, kk=k: fused_detect(
+                model.apply(fvars, x, train=False), anchors,
+                conf_threshold=0.25, iou_threshold=0.6,
+                pre_nms_topk=kk, backend=b))
+            try:
+                bench_fn(f"pipeline K={k} nms={backend}", f, xs, bs)
+            except Exception as e:
+                print(f"pipeline K={k} nms={backend}: FAILED {type(e).__name__}: "
+                      f"{str(e)[:200]}", flush=True)
+
+    section("3. s2d stem A/B")
+    s2d_model = YOLOv5(first_out=48, nc=80, dtype=jnp.bfloat16, fused=True,
+                       stem_s2d=True)
+    s2d_vars = stem_weights_to_s2d(fvars)
+    bench_fn("fwd only, default stem",
+             jax.jit(lambda x: model.apply(fvars, x, train=False)[0]), xs, bs)
+    bench_fn("fwd only, s2d stem",
+             jax.jit(lambda x: s2d_model.apply(s2d_vars, x, train=False)[0]),
+             xs, bs)
+    bench_fn("pipeline, default stem",
+             jax.jit(lambda x: fused_detect(
+                 model.apply(fvars, x, train=False), anchors,
+                 conf_threshold=0.25, iou_threshold=0.6)), xs, bs)
+    bench_fn("pipeline, s2d stem",
+             jax.jit(lambda x: fused_detect(
+                 s2d_model.apply(s2d_vars, x, train=False), anchors,
+                 conf_threshold=0.25, iou_threshold=0.6)), xs, bs)
+
+    section("4. train-step decomposition")
+    subprocess.run([sys.executable,
+                    os.path.join(_HERE, "profile_train_decomp.py")],
+                   check=False)
+
+    section("5. train throughput (profile_train.py)")
+    subprocess.run([sys.executable, os.path.join(_HERE, "profile_train.py")],
+                   check=False)
+
+
+if __name__ == "__main__":
+    main()

@@ -21,9 +21,16 @@ def make_global_batch(bs: int = 4, hw: int = 64, nb: int = 8) -> dict:
     }
 
 
-def run_dp_step_over(mesh, local_batch, hw: int = 64) -> float:
+def run_dp_step_over(mesh, local_batch, hw: int = 64, barrier=None) -> float:
     """One DP train step over `mesh`; `local_batch` is this process's shard
-    (the full batch in single-process runs). Returns the global loss."""
+    (the full batch in single-process runs). Returns the global loss.
+
+    barrier: optional zero-arg callable invoked AFTER compilation and BEFORE
+    the first execution. Multi-process CPU runs need it: the dp_step compile
+    takes minutes and is not synchronized across processes, while Gloo's
+    collective-context rendezvous at first execution times out after 30s —
+    without aligning here, whichever process compiles first gives up waiting
+    for the other."""
     import jax
     import jax.numpy as jnp
 
@@ -47,6 +54,11 @@ def run_dp_step_over(mesh, local_batch, hw: int = 64) -> float:
     dp_step = make_dp_train_step(model, loss_fn, optimizer, mesh, accumulate=1)
     state = replicate_state(state, mesh)
     batch = shard_batch(local_batch, mesh)
-    state, metrics = dp_step(state, batch["image"], batch["labels"],
-                             batch["mask"])
+    args = (state, batch["image"], batch["labels"], batch["mask"])
+    if barrier is not None:
+        compiled = dp_step.lower(*args).compile()   # AOT: no collectives yet
+        barrier()
+        state, metrics = compiled(*args)
+    else:
+        state, metrics = dp_step(*args)
     return float(metrics["loss"])

@@ -42,7 +42,17 @@ def main() -> None:
     batch = make_global_batch()
     sl = local_batch_slice(batch["image"].shape[0])
     local = {k: np.asarray(v)[sl] for k, v in batch.items()}
-    loss = run_dp_step_over(mesh, local)
+
+    def barrier():
+        # coordination-service barrier (NOT a Gloo collective): aligns the
+        # processes after their multi-minute, unsynchronized compiles so the
+        # 30s Gloo rendezvous at first execution can't time out
+        from jax._src.distributed import global_state
+        print("at barrier", flush=True)
+        global_state.client.wait_at_barrier("dp_step_compiled",
+                                            timeout_in_ms=15 * 60 * 1000)
+
+    loss = run_dp_step_over(mesh, local, barrier=barrier)
     print(f"LOSS {loss:.10f}", flush=True)
 
 

@@ -158,3 +158,19 @@ def test_s2d_stem_exact_parity(rng):
     for a, b in zip(ref, got):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_family_variants_param_counts():
+    """YOLOv5 family law (width=first_out, depth=depth_mult): parameter
+    counts land on the well-known family sizes (nc=80). The reference
+    hardcodes the 'm' point; n/s/l/x follow the same scaling."""
+    import jax
+    from yolov5m_tpu.models.yolo import from_family
+    from yolov5m_tpu.utils.export import count_parameters
+
+    expected_m = {"n": 1.9, "s": 7.2, "m": 21.2, "l": 46.5, "x": 86.7}
+    for variant, millions in expected_m.items():
+        model = from_family(variant, nc=80)
+        v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+        n = count_parameters(v)
+        assert abs(n / 1e6 - millions) < 0.6, (variant, n)

@@ -45,7 +45,7 @@ def test_two_process_dp_step_matches_single_process():
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=540)
+            out, _ = p.communicate(timeout=720)
             outs.append(out)
     except subprocess.TimeoutExpired:
         for p in procs:

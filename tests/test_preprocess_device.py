@@ -1,0 +1,54 @@
+"""On-device letterbox preprocessing vs the host (native/cv2/numpy) path."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from yolov5m_tpu.data.native import letterbox
+from yolov5m_tpu.ops.preprocess import (
+    letterbox_geometry, letterbox_normalize, make_serving_fn)
+
+
+def test_device_letterbox_matches_host(rng):
+    img = rng.integers(0, 255, (100, 200, 3), np.uint8)
+    host, ratio, (dw, dh) = letterbox(img, (128, 128))
+    dev = np.asarray(letterbox_normalize(jnp.asarray(img[None]), (128, 128)))[0]
+    r2, (dw2, dh2), _, _ = letterbox_geometry((100, 200), (128, 128))
+    assert r2 == ratio[0] and (dw2, dh2) == (dw, dh)
+    # same geometry: fill bands identical, content within resize-rounding
+    assert np.allclose(dev[0], 114 / 255.0, atol=1e-6)
+    assert np.allclose(dev[-1], 114 / 255.0, atol=1e-6)
+    diff = np.abs(dev * 255.0 - host.astype(np.float32))
+    assert diff.max() <= 2.0, diff.max()     # u8 rounding + resampler ULPs
+    assert np.mean(diff > 1.0) < 0.02
+
+
+def test_device_letterbox_no_resize_case(rng):
+    """Source already at target width: pure padding, bit-exact."""
+    img = rng.integers(0, 255, (64, 128, 3), np.uint8)
+    host, _, _ = letterbox(img, (128, 128))
+    dev = np.asarray(letterbox_normalize(jnp.asarray(img[None]), (128, 128)))[0]
+    np.testing.assert_array_equal((dev * 255.0).astype(np.uint8), host)
+
+
+def test_serving_fn_end_to_end(rng):
+    """Raw uint8 frames → detections in original coords, one jitted graph."""
+    import jax
+
+    from yolov5m_tpu.config import Config
+    from yolov5m_tpu.models import YOLOv5
+    from yolov5m_tpu.models.yolo import normalized_anchors
+
+    cfg = Config(first_out=8, nc=4, image_size=128)
+    model = YOLOv5(first_out=8, nc=4, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+    serve = make_serving_fn(model, variables, jnp.asarray(normalized_anchors()),
+                            src_hw=(96, 160), image_size=128,
+                            conf=0.0001, pre_nms_topk=128)
+    frames = rng.integers(0, 255, (2, 96, 160, 3), np.uint8)
+    det, valid = serve(jnp.asarray(frames))
+    det, valid = np.asarray(det), np.asarray(valid)
+    assert det.shape == (2, 300, 6) and valid.shape == (2, 300)
+    rows = det[valid]
+    if len(rows):  # random init: boxes exist and live in source-frame bounds
+        assert np.all(rows[:, 2] >= 0) and np.all(rows[:, 4] <= 160)
+        assert np.all(rows[:, 3] >= 0) and np.all(rows[:, 5] <= 96)

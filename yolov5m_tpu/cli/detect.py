@@ -30,7 +30,11 @@ def arg_parser():
     p.add_argument("--nc", type=int, default=2, help="number of classes (FLIR=2)")
     p.add_argument("--labels", type=str, default=None,
                    help="comma-separated class names; default FLIR or COCO by nc")
-    p.add_argument("--first_out", type=int, default=48)
+    p.add_argument("--first_out", type=int, default=None,
+                   help="width override (default: from --model)")
+    p.add_argument("--model", type=str, default="m",
+                   choices=["n", "s", "m", "l", "x"],
+                   help="YOLOv5 family variant")
     p.add_argument("--image_size", type=int, default=640)
     p.add_argument("--conf", type=float, default=0.25)
     p.add_argument("--iou", type=float, default=0.45)
@@ -81,14 +85,19 @@ def main(opt):
     else:
         labels = FLIR_LABELS if opt.nc == 2 else COCO_LABELS
 
-    cfg = Config(first_out=opt.first_out, nc=opt.nc, image_size=opt.image_size)
-    model = YOLOv5(first_out=cfg.first_out, nc=cfg.nc, dtype=jnp.bfloat16)
+    from yolov5m_tpu.models.yolo import FAMILY
+
+    fam_fo, fam_dm = FAMILY[getattr(opt, "model", "m")]
+    first_out = opt.first_out if opt.first_out is not None else fam_fo
+    cfg = Config(first_out=first_out, nc=opt.nc, image_size=opt.image_size)
+    model = YOLOv5(first_out=cfg.first_out, nc=cfg.nc, dtype=jnp.bfloat16,
+                   depth_mult=fam_dm)
     variables = load_variables(opt, model, jnp)
     if getattr(opt, "fuse", False):
         from yolov5m_tpu.models.fuse import fold_batchnorm
         variables = fold_batchnorm(variables)
         model = YOLOv5(first_out=cfg.first_out, nc=cfg.nc,
-                       dtype=jnp.bfloat16, fused=True)
+                       dtype=jnp.bfloat16, fused=True, depth_mult=fam_dm)
     anchors_norm = jnp.asarray(normalized_anchors())
 
     img_path = opt.img

@@ -20,7 +20,11 @@ def arg_parser():
     p.add_argument("--weights", type=str, default=None,
                    help="npz of torch-layout weights")
     p.add_argument("--nc", type=int, default=80)
-    p.add_argument("--first_out", type=int, default=48)
+    p.add_argument("--first_out", type=int, default=None,
+                   help="width override (default: from --model)")
+    p.add_argument("--model", type=str, default="m",
+                   choices=["n", "s", "m", "l", "x"],
+                   help="YOLOv5 family variant")
     p.add_argument("--image_size", type=int, default=640)
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--onnx", type=str, default=None,
@@ -37,19 +41,24 @@ def main(opt):
 
     from yolov5m_tpu.cli.detect import load_variables
     from yolov5m_tpu.models import YOLOv5
+    from yolov5m_tpu.models.yolo import FAMILY
 
     if not (opt.onnx or opt.stablehlo):
         raise SystemExit("give --onnx and/or --stablehlo output paths")
 
-    model = YOLOv5(first_out=opt.first_out, nc=opt.nc, dtype=jnp.float32)
+    fam_fo, fam_dm = FAMILY[getattr(opt, "model", "m")]
+    first_out = opt.first_out if opt.first_out is not None else fam_fo
+    model = YOLOv5(first_out=first_out, nc=opt.nc, dtype=jnp.float32,
+                   depth_mult=fam_dm)
     opt.img = None  # load_variables reuses the detect options surface
     variables = load_variables(opt, model, jnp)
 
     if opt.onnx:
         from yolov5m_tpu.utils.onnx_export import export_onnx
         path = export_onnx(variables, opt.onnx, nc=opt.nc,
-                           first_out=opt.first_out,
-                           image_size=opt.image_size, batch=opt.batch)
+                           first_out=first_out,
+                           image_size=opt.image_size, batch=opt.batch,
+                           depth_mult=fam_dm)
         print(f"wrote ONNX (opset 11): {path}")
 
     if opt.stablehlo:

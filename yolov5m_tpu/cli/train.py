@@ -40,7 +40,12 @@ def arg_parser():
     # TPU-native extras
     p.add_argument("--dp", type=int, default=0,
                    help="data-parallel device count (0 = all available)")
-    p.add_argument("--first_out", type=int, default=48)
+    p.add_argument("--first_out", type=int, default=None,
+                   help="width override (default: from --model)")
+    p.add_argument("--model", type=str, default="m",
+                   choices=["n", "s", "m", "l", "x"],
+                   help="YOLOv5 family variant (width+depth scaling; the "
+                        "reference hardcodes 'm')")
     p.add_argument("--image_size", type=int, default=640)
     p.add_argument("--max_boxes", type=int, default=120)
     p.add_argument("--iou_type", type=str, default="giou",
@@ -100,13 +105,18 @@ def main(opt):
         CSVLogger, latest_epoch, load_checkpoint, next_run_name, save_checkpoint)
     from yolov5m_tpu.utils.plotting import save_prediction_images
 
+    from yolov5m_tpu.models.yolo import FAMILY
+
     root, nc, labels = resolve_dataset(opt)
-    cfg = Config(first_out=opt.first_out, nc=nc, image_size=opt.image_size,
+    fam_fo, fam_dm = FAMILY[getattr(opt, "model", "m")]
+    first_out = opt.first_out if opt.first_out is not None else fam_fo
+    cfg = Config(first_out=first_out, nc=nc, image_size=opt.image_size,
                  epochs=opt.epochs, batch_size=opt.bs,
                  max_boxes_per_image=opt.max_boxes,
                  iou_type=getattr(opt, "iou_type", "giou"))
 
-    model = YOLOv5(first_out=cfg.first_out, nc=cfg.nc, dtype=jnp.bfloat16)
+    model = YOLOv5(first_out=cfg.first_out, nc=cfg.nc, dtype=jnp.bfloat16,
+                   depth_mult=fam_dm)
     anchors_norm = normalized_anchors()
     anchors_px = np.asarray(ANCHORS, np.float32)
 

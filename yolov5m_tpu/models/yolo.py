@@ -52,8 +52,28 @@ class Head(nn.Module):
         return outs
 
 
+# YOLOv5 family presets: (first_out, depth_mult). Width scales channels
+# (base 64 × width_multiple); depth scales the C3 stack counts (base 3/6/9/3
+# × depth_multiple, min 1). The reference hardcodes the "m" point
+# (first_out=48, depths 2/4/6/2 — model.py:184-207); the rest of the family
+# follows the same (width, depth) law.
+FAMILY = {
+    "n": (16, 0.33),
+    "s": (32, 0.33),
+    "m": (48, 0.67),
+    "l": (64, 1.00),
+    "x": (80, 1.33),
+}
+
+
+def _scaled_depth(base: int, depth_mult: float) -> int:
+    return max(round(base * depth_mult), 1)
+
+
 class YOLOv5(nn.Module):
-    """YOLOv5 detector parameterized by width (first_out=48 → YOLOv5m)."""
+    """YOLOv5 detector parameterized by width (first_out) and depth
+    (depth_mult). Defaults are the reference's YOLOv5m point (first_out=48,
+    depth_mult=0.67 → C3 depths 2/4/6/2); see FAMILY for n/s/m/l/x."""
 
     first_out: int = 48
     nc: int = 80
@@ -61,10 +81,14 @@ class YOLOv5(nn.Module):
     bn_axis: Optional[str] = None   # sync-BN mesh axis for DP (see blocks.CBL)
     fused: bool = False             # BN folded into convs (models/fuse.py)
     stem_s2d: bool = False          # space-to-depth stem rewrite (models/s2d.py)
+    depth_mult: float = 0.67        # C3 stack scaling (YOLOv5 family law)
 
     def setup(self):
         fo, dt, ax = self.first_out, self.dtype, self.bn_axis
         fu = self.fused
+        d3 = _scaled_depth(3, self.depth_mult)   # m: 2
+        d6 = _scaled_depth(6, self.depth_mult)   # m: 4
+        d9 = _scaled_depth(9, self.depth_mult)   # m: 6
         # Backbone: 10 modules; taps after idx 4 (P3-level) and 6 (P4-level)
         # — reference model.py:184-195, 215-219.
         stem = (CBL(fo, 3, 1, 1, dt, ax, fu) if self.stem_s2d
@@ -72,25 +96,25 @@ class YOLOv5(nn.Module):
         self.backbone = [
             stem,
             CBL(fo * 2, 3, 2, 1, dt, ax, fu),
-            C3(fo * 2, 0.5, 2, True, dt, ax, fu),
+            C3(fo * 2, 0.5, d3, True, dt, ax, fu),
             CBL(fo * 4, 3, 2, 1, dt, ax, fu),
-            C3(fo * 4, 0.5, 4, True, dt, ax, fu),
+            C3(fo * 4, 0.5, d6, True, dt, ax, fu),
             CBL(fo * 8, 3, 2, 1, dt, ax, fu),
-            C3(fo * 8, 0.5, 6, True, dt, ax, fu),
+            C3(fo * 8, 0.5, d9, True, dt, ax, fu),
             CBL(fo * 16, 3, 2, 1, dt, ax, fu),
-            C3(fo * 16, 0.5, 2, True, dt, ax, fu),
+            C3(fo * 16, 0.5, d3, True, dt, ax, fu),
             SPPF(fo * 16, dt, ax, fu),
         ]
         # Neck: FPN-up + PAN-down — reference model.py:197-207, 221-237.
         self.neck = [
             CBL(fo * 8, 1, 1, 0, dt, ax, fu),
-            C3(fo * 8, 0.25, 2, False, dt, ax, fu),
+            C3(fo * 8, 0.25, d3, False, dt, ax, fu),
             CBL(fo * 4, 1, 1, 0, dt, ax, fu),
-            C3(fo * 4, 0.25, 2, False, dt, ax, fu),
+            C3(fo * 4, 0.25, d3, False, dt, ax, fu),
             CBL(fo * 4, 3, 2, 1, dt, ax, fu),
-            C3(fo * 8, 0.5, 2, False, dt, ax, fu),
+            C3(fo * 8, 0.5, d3, False, dt, ax, fu),
             CBL(fo * 8, 3, 2, 1, dt, ax, fu),
-            C3(fo * 16, 0.5, 2, False, dt, ax, fu),
+            C3(fo * 16, 0.5, d3, False, dt, ax, fu),
         ]
         self.head = Head(nc=self.nc, dtype=dt)
 
@@ -136,6 +160,13 @@ def create_model(cfg: Config):
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     model = YOLOv5(first_out=cfg.first_out, nc=cfg.nc, dtype=dtype)
     return model, jnp.asarray(normalized_anchors())
+
+
+def from_family(variant: str, nc: int = 80, dtype=jnp.float32,
+                **kwargs) -> YOLOv5:
+    """Build a YOLOv5 family member by name: n/s/m/l/x (see FAMILY)."""
+    fo, dm = FAMILY[variant]
+    return YOLOv5(first_out=fo, depth_mult=dm, nc=nc, dtype=dtype, **kwargs)
 
 
 if __name__ == "__main__":

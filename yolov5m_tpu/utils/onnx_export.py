@@ -155,13 +155,16 @@ class _GraphBuilder:
 
 
 def export_onnx(variables, path: str, nc: int = 80, first_out: int = 48,
-                image_size: int = 640, batch: int = 1, na: int = 3) -> str:
+                image_size: int = 640, batch: int = 1, na: int = 3,
+                depth_mult: float = 0.67) -> str:
     """Serialize the YOLOv5 forward as a literal opset-11 .onnx file.
 
     variables: unfused flax variables ({"params", "batch_stats"}); BN is
     folded internally so the graph is Conv+SiLU only. Returns the path.
+    depth_mult follows the family law in models.yolo (0.67 = YOLOv5m).
     """
     from yolov5m_tpu.models.fuse import fold_batchnorm
+    from yolov5m_tpu.models.yolo import _scaled_depth
 
     fused = fold_batchnorm(variables) if "batch_stats" in variables else variables
     flat = traverse_util.flatten_dict(fused["params"])
@@ -169,7 +172,8 @@ def export_onnx(variables, path: str, nc: int = 80, first_out: int = 48,
 
     x = "images"
     no = 5 + nc
-    depths = {2: 2, 4: 4, 6: 6, 8: 2}
+    d3, d6, d9 = (_scaled_depth(b, depth_mult) for b in (3, 6, 9))
+    depths = {2: d3, 4: d6, 6: d9, 8: d3}
 
     # backbone (models/yolo.py:72-83): stem 6x6/s2/p2, alternating CBL-s2/C3
     taps = []
@@ -197,7 +201,7 @@ def export_onnx(variables, path: str, nc: int = 80, first_out: int = 48,
             x = g.cbl(p, x, 3, 2, 1)
             x = g.concat([x, stash.pop()])
         else:
-            x = g.c3(p, x, 2, False)
+            x = g.c3(p, x, d3, False)
             if idx > 2:
                 feats.append(x)
 
