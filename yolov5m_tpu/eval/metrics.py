@@ -77,6 +77,7 @@ class MeanAveragePrecision:
             labels = labels[: self.max_det]
 
         nt = len(self.iou_thresholds)
+        thr = self.iou_thresholds[:, None]                  # (nt, 1)
         tp = np.zeros((len(boxes), nt), bool)
         for c in np.unique(labels):
             det_idx = np.nonzero(labels == c)[0]
@@ -84,14 +85,18 @@ class MeanAveragePrecision:
             if len(gt_idx) == 0:
                 continue
             iou = _iou_matrix(boxes[det_idx], gt_boxes[gt_idx])
-            for ti, t in enumerate(self.iou_thresholds):
-                taken = np.zeros(len(gt_idx), bool)
-                for di in range(len(det_idx)):
-                    cand = np.where(~taken & (iou[di] >= t))[0]
-                    if len(cand):
-                        best = cand[np.argmax(iou[di][cand])]
-                        taken[best] = True
-                        tp[det_idx[di], ti] = True
+            # greedy matching, all IoU thresholds in lockstep: the detection
+            # loop is inherently sequential (GT availability depends on
+            # earlier matches), but each threshold matches independently —
+            # one (nt, n_gt) taken-mask pass per detection instead of a
+            # python loop per (detection, threshold)
+            taken = np.zeros((nt, len(gt_idx)), bool)
+            for di in range(len(det_idx)):
+                cand = ~taken & (iou[di][None, :] >= thr)   # (nt, n_gt)
+                has = cand.any(axis=1)
+                best = np.argmax(np.where(cand, iou[di][None, :], -1.0), axis=1)
+                taken[has, best[has]] = True
+                tp[det_idx[di]] = has
         self._records.append((scores, tp, labels))
 
     def compute(self) -> Dict[str, float]:
