@@ -29,15 +29,26 @@ def section(title):
 
 
 def bench_fn(name, fn, xs, bs, n_rounds=3):
-    rs = [fn(x) for x in xs]
-    jax.block_until_ready(rs)
-    # forced scalar fetch on top of block_until_ready (relay lesson)
-    float(jax.tree.leaves(rs[-1])[0].sum())
+    """Relay-proof timing (same scheme as bench.py): iterations are
+    dependency-chained through a device-side scalar folded into each input,
+    so (a) no two executions ever see byte-identical arguments (the relay
+    result-caches identical calls) and (b) one final scalar fetch forces the
+    whole chain (block_until_ready has been seen returning early)."""
+    @jax.jit
+    def chained(x, acc):
+        out = fn(x + (acc * 0).astype(x.dtype))
+        leaf = jax.tree.leaves(out)[0]
+        return acc + leaf.astype(jnp.float32).sum()
+
+    acc = jnp.float32(0.0)
+    for x in xs:
+        acc = chained(x, acc)
+    float(acc)  # warmup + full sync
     t0 = time.perf_counter()
     for _ in range(n_rounds):
-        rs = [fn(x) for x in xs]
-    jax.block_until_ready(rs)
-    float(jax.tree.leaves(rs[-1])[0].sum())
+        for x in xs:
+            acc = chained(x, acc)
+    float(acc)
     dt = (time.perf_counter() - t0) / (n_rounds * len(xs))
     print(f"{name:44s} {dt*1000:7.2f} ms/batch  {bs/dt:7.1f} img/s", flush=True)
     return dt
@@ -62,9 +73,12 @@ def main():
         print("chip degraded — aborting (use --force to run anyway)")
         return
 
+    env = dict(os.environ,
+               PYTHONPATH=_REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
+
     section("1. headline bench (bench.py)")
     subprocess.run([sys.executable, os.path.join(_REPO, "bench.py")],
-                   check=False)
+                   check=False, env=env)
 
     from yolov5m_tpu.models import YOLOv5
     from yolov5m_tpu.models.fuse import fold_batchnorm
@@ -116,11 +130,11 @@ def main():
     section("4. train-step decomposition")
     subprocess.run([sys.executable,
                     os.path.join(_HERE, "profile_train_decomp.py")],
-                   check=False)
+                   check=False, env=env)
 
     section("5. train throughput (profile_train.py)")
     subprocess.run([sys.executable, os.path.join(_HERE, "profile_train.py")],
-                   check=False)
+                   check=False, env=env)
 
 
 if __name__ == "__main__":

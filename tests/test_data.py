@@ -284,3 +284,19 @@ def test_unletterbox_roundtrip_within_1px(rng):
                      (w0 + 9) * r + dw, (h0 + 9) * r + dh])
     clipped = np.asarray(unletterbox_boxes(poke, ratio, (dw, dh), (h0, w0)))
     np.testing.assert_allclose(clipped, [0, 0, w0, h0], atol=1e-4)
+
+
+def test_epoch_auto_advances_without_set_epoch(tiny_dataset):
+    """Iterating the loader repeatedly WITHOUT set_epoch must still give
+    fresh shuffle/augmentation per pass (pre-round-2 stateful-rng contract);
+    set_epoch switches to explicit, reproducible numbering."""
+    ds = DetectionDataset(tiny_dataset, train=True, max_boxes=16)
+    loader = BatchLoader(ds, batch_size=8, shuffle=True,
+                         augment=TrainAugment(seed=1))
+    a = next(iter(loader))
+    b = next(iter(loader))
+    assert not np.array_equal(a["image"], b["image"])   # fresh per pass
+    loader.set_epoch(5)
+    c = next(iter(loader))
+    d = next(iter(loader))
+    np.testing.assert_array_equal(c["image"], d["image"])  # pinned epoch

@@ -289,6 +289,22 @@ def test_max_det_truncation():
     assert trunc.compute()["map_50"] == 0.0
 
 
+def test_max_det_is_per_category():
+    """COCOeval truncates per (image, category) (evaluateImg dt[0:maxDet]
+    under useCats=1) — a dense class must not evict another class's only
+    detection from the global top-k."""
+    gt_b = np.array([_box(300, 300, 400, 400)])
+    # class 0: two high-scoring FPs; class 1: one lower-scoring TP
+    dets = np.array([_box(0, 0, 10, 10), _box(20, 20, 30, 30),
+                     _box(300, 300, 400, 400)])
+    m = MeanAveragePrecision(iou_thresholds=[0.5], max_det=2)
+    m.update(preds=dict(boxes=dets, scores=[0.9, 0.8, 0.3],
+                        labels=[0, 0, 1]),
+             targets=dict(boxes=gt_b, labels=[1]))
+    # global top-2 would drop the class-1 TP → AP 0; per-category keeps it
+    assert m.compute()["map_50"] == 1.0
+
+
 def _random_image_set(rng, n_images=8, nc=3):
     images = []
     for _ in range(n_images):

@@ -248,6 +248,8 @@ class BatchLoader:
         self.augment = augment
         self.seed = seed
         self.epoch = 0
+        self._epoch_explicit = False  # auto-advance per pass until set_epoch
+        self._auto_epoch = 0
         self.drop_last = drop_last
         self.size_buckets = None
         if size_buckets and not dataset.rect:
@@ -275,26 +277,40 @@ class BatchLoader:
         size choice, per-item augmentation) so successive epochs see different
         randomness — the reference draws fresh sizes/augs per batch
         (reference utils/training_utils.py:11-28); without this, rect training
-        (shuffle off) would repeat identical mosaics/flips/sizes every epoch."""
+        (shuffle off) would repeat identical mosaics/flips/sizes every epoch.
+
+        Optional: a loader that is simply iterated repeatedly without
+        set_epoch auto-advances an internal epoch counter per pass, so plain
+        `for epoch in ...: for batch in loader:` keeps fresh randomness too.
+        Call set_epoch for reproducible/resumable epoch numbering."""
         self.epoch = int(epoch)
+        self._epoch_explicit = True
 
     def __iter__(self) -> Iterator[dict]:
+        if self._epoch_explicit:
+            epoch = self.epoch
+        else:
+            epoch = self._auto_epoch
+            self._auto_epoch += 1   # eager: counted per pass, not per batch
+        return self._iter_epoch(epoch)
+
+    def _iter_epoch(self, epoch: int) -> Iterator[dict]:
         order = np.arange(len(self.ds))
         if self.shuffle:
             # tuple-of-ints hash is deterministic across processes
             # (PYTHONHASHSEED only perturbs str/bytes hashing)
             np.random.default_rng(
-                hash((self.seed, self.epoch)) & 0x7FFFFFFF).shuffle(order)
+                hash((self.seed, epoch)) & 0x7FFFFFFF).shuffle(order)
         batches = []
         for start in range(0, len(order), self.bs):
             idxs = order[start:start + self.bs]
             if len(idxs) < self.bs and self.drop_last:
                 break
-            batches.append((idxs, start // self.bs))
+            batches.append((idxs, start // self.bs, epoch))
 
         if self.prefetch_depth <= 0:
-            for idxs, bi in batches:
-                yield self._make_batch(idxs, bi)
+            for args in batches:
+                yield self._make_batch(*args)
             return
 
         # pipeline: build up to prefetch_depth batches ahead on a thread pool
@@ -319,14 +335,15 @@ class BatchLoader:
             for fut in pending:
                 fut.cancel()
 
-    def _make_batch(self, idxs: np.ndarray, batch_idx: int) -> dict:
+    def _make_batch(self, idxs: np.ndarray, batch_idx: int,
+                    epoch: int = 0) -> dict:
         hw = self.ds.item_shape(int(idxs[0]))
         if self.size_buckets is not None:
             # deterministic per-(epoch, batch) choice (thread-safe under
             # prefetch); epoch folded in so the size schedule re-randomizes
             # every epoch like the reference's per-batch draw
             s = int(np.random.default_rng(
-                hash((self.seed, self.epoch, batch_idx, -1)) & 0x7FFFFFFF)
+                hash((self.seed, epoch, batch_idx, -1)) & 0x7FFFFFFF)
                 .choice(self.size_buckets))
             hw = (s, s)
         nb = self.ds.max_boxes
@@ -342,7 +359,7 @@ class BatchLoader:
         for k, idx in enumerate(idxs):
             # per-item deterministic rng: thread-safe under prefetch
             item_rng = np.random.default_rng(
-                hash((self.seed, self.epoch, batch_idx, k)) & 0x7FFFFFFF)
+                hash((self.seed, epoch, batch_idx, k)) & 0x7FFFFFFF)
             if self.mosaic_p > 0 and item_rng.random() < self.mosaic_p \
                     and hw[0] == hw[1]:
                 from yolov5m_tpu.data.augment import mosaic4

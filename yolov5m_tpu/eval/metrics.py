@@ -46,10 +46,12 @@ class MeanAveragePrecision:
 
     def __init__(self, iou_thresholds: Optional[Sequence[float]] = None,
                  max_det: Optional[int] = None):
-        """max_det: COCOeval's maxDets — keep only the top-k detections per
-        image by score (COCO uses 100; torchmetrics' headline `map` likewise).
-        Default None: the detection pipeline already caps at 300 via NMS
-        (reference bboxes_utils.py:207)."""
+        """max_det: COCOeval's maxDets — keep only the top-k detections by
+        score per (image, category), matching pycocotools evaluateImg's
+        `dt = dt[0:maxDet]` under useCats=1 (COCO uses 100; torchmetrics'
+        headline `map` likewise). Default None: the detection pipeline
+        already caps at 300 per image via NMS (reference
+        bboxes_utils.py:207)."""
         self.iou_thresholds = np.asarray(
             iou_thresholds if iou_thresholds is not None else IOU_THRESHOLDS)
         self.max_det = max_det
@@ -72,9 +74,14 @@ class MeanAveragePrecision:
         order = np.argsort(-scores, kind="stable")
         boxes, scores, labels = boxes[order], scores[order], labels[order]
         if self.max_det is not None:
-            boxes = boxes[: self.max_det]
-            scores = scores[: self.max_det]
-            labels = labels[: self.max_det]
+            # per (image, category), like COCOeval under useCats=1 — a
+            # global top-k would let a dense class evict another class's
+            # detections entirely
+            keep = np.ones(len(labels), bool)
+            for c in np.unique(labels):
+                idx = np.nonzero(labels == c)[0]
+                keep[idx[self.max_det:]] = False
+            boxes, scores, labels = boxes[keep], scores[keep], labels[keep]
 
         nt = len(self.iou_thresholds)
         thr = self.iou_thresholds[:, None]                  # (nt, 1)
