@@ -26,7 +26,7 @@ def bench(name, fn, n_rounds=3):
     dt = (time.perf_counter()-t0)/(n_rounds*len(xs))
     print(f"{name:28s} {dt*1000:7.2f} ms/batch  {bs/dt:7.1f} img/s", flush=True)
 
-for backend in ("xla", "pallas"):
+for backend in ("xla", "xla_loop", "pallas"):
     f = jax.jit(lambda x, b=backend: fused_detect(
         model.apply(variables, x, train=False), anchors,
         conf_threshold=0.25, iou_threshold=0.6, pre_nms_topk=1024, backend=b))
