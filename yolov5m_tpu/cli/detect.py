@@ -42,6 +42,9 @@ def arg_parser():
                    help="save annotated image under detections_exp/")
     p.add_argument("--fuse", action="store_true",
                    help="fold BatchNorm into convs for inference")
+    p.add_argument("--int8", action="store_true",
+                   help="post-training int8 quantization (implies --fuse; "
+                        "calibrates on the input image; models/quantize.py)")
     p.add_argument("--out", type=str, default="detections_exp")
     return p.parse_args()
 
@@ -113,6 +116,11 @@ def main(opt):
     raw = np.asarray(Image.open(img_path).convert("RGB"))
     img, ratio, (dw, dh) = letterbox(raw, (opt.image_size, opt.image_size))
     x = jnp.asarray(img[None].astype(np.float32) / 255.0)
+
+    if getattr(opt, "int8", False):
+        from yolov5m_tpu.models.quantize import quantize_int8
+        model, variables = quantize_int8(model, variables, [x])
+        print("==> int8 PTQ (calibrated on the input image)")
 
     @jax.jit
     def infer(v, x):

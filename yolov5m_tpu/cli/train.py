@@ -9,6 +9,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import os
 import time
 from pathlib import Path
@@ -62,6 +63,12 @@ def arg_parser():
                         " per-batch resize; ignored with --rect")
     p.add_argument("--datasets_dir", type=str, default=None,
                    help="override the datasets root (default: ../datasets)")
+    p.add_argument("--lr_schedule", type=str, default="constant",
+                   choices=["constant", "cosine"],
+                   help="constant (reference train.py:61) or warmup+cosine "
+                        "(production recipe)")
+    p.add_argument("--warmup_epochs", type=float, default=0.0,
+                   help="linear lr warmup span in epochs (cosine schedule)")
     return p.parse_args()
 
 
@@ -120,7 +127,23 @@ def main(opt):
     anchors_norm = normalized_anchors()
     anchors_px = np.asarray(ANCHORS, np.float32)
 
-    optimizer = make_optimizer(cfg)
+    ms_sizes = None
+    if getattr(opt, "multi_scale", "") and not opt.rect:
+        ms_sizes = [int(s) for s in opt.multi_scale.split(",")]
+    train_loader, val_loader = get_loaders(
+        root, opt.bs, rect_training=opt.rect, box_format=opt.box_format,
+        max_boxes=opt.max_boxes, default_size=opt.image_size,
+        multi_scale_sizes=ms_sizes, num_workers=opt.nw,
+        mosaic_p=getattr(opt, "mosaic", 0.0), hsv=getattr(opt, "hsv", False))
+
+    accumulate = accumulation_steps(opt.bs, cfg.nominal_batch_size)
+    # schedule horizon in OPTIMIZER steps (accumulation-gated)
+    opt_steps_per_epoch = max(len(train_loader) // accumulate, 1)
+    if getattr(opt, "lr_schedule", "constant") != "constant":
+        cfg = dataclasses.replace(
+            cfg, lr_schedule=opt.lr_schedule,
+            warmup_steps=int(opt.warmup_epochs * opt_steps_per_epoch))
+    optimizer = make_optimizer(cfg, total_steps=opt.epochs * opt_steps_per_epoch)
     state = create_train_state(model, cfg, jax.random.PRNGKey(0),
                                (cfg.image_size, cfg.image_size), optimizer)
 
@@ -144,35 +167,34 @@ def main(opt):
             sd, {"params": state.params, "batch_stats": state.batch_stats})
         state = state.replace(params=variables["params"],
                               batch_stats=variables["batch_stats"],
-                              ema_params=variables["params"])
+                              # copy, not alias: donated steps must not see
+                              # the same buffer twice (trainer.py)
+                              ema_params=jax.tree.map(
+                                  lambda x: jnp.asarray(x).copy(),
+                                  variables["params"]))
         print(f"==> loaded converted torch weights from {opt.weights}")
 
     save_logs = not opt.nosavelogs
     logger = CSVLogger("train_eval_metrics", filename, resume=opt.resume) \
         if save_logs else None
 
-    ms_sizes = None
-    if getattr(opt, "multi_scale", "") and not opt.rect:
-        ms_sizes = [int(s) for s in opt.multi_scale.split(",")]
-    train_loader, val_loader = get_loaders(
-        root, opt.bs, rect_training=opt.rect, box_format=opt.box_format,
-        max_boxes=opt.max_boxes, default_size=opt.image_size,
-        multi_scale_sizes=ms_sizes, num_workers=opt.nw,
-        mosaic_p=getattr(opt, "mosaic", 0.0), hsv=getattr(opt, "hsv", False))
-
     loss_fn = YoloLoss(LossConfig.from_config(cfg), anchors_px,
                        kind="ultralytics" if opt.ultralytics_loss else "custom")
-    accumulate = accumulation_steps(opt.bs, cfg.nominal_batch_size)
 
     n_dev = opt.dp or len(jax.devices())
+    # donate_argnums=0: the loop always rebinds `state`, so the ~6 param-sized
+    # state arrays (params, Adam moments, accum grads, EMA) update in place
+    # instead of allocating fresh HBM every step
     if n_dev > 1:
         mesh = make_mesh(n_dev)
-        step_fn = make_dp_train_step(model, loss_fn, optimizer, mesh, accumulate)
+        step_fn = make_dp_train_step(model, loss_fn, optimizer, mesh,
+                                     accumulate, donate=True)
         state = replicate_state(state, mesh)
         put = lambda b: shard_batch(b, mesh)  # noqa: E731
         print(f"==> data-parallel over {n_dev} devices")
     else:
-        step_fn = jax.jit(make_train_step(model, loss_fn, optimizer, accumulate))
+        step_fn = jax.jit(make_train_step(model, loss_fn, optimizer, accumulate),
+                          donate_argnums=0)
         put = lambda b: {k: jnp.asarray(v) for k, v in b.items()}  # noqa: E731
 
     evaluator = Evaluator(model, anchors_norm, cfg, anchors_px)
@@ -183,23 +205,34 @@ def main(opt):
             t0 = time.time()
             epoch_loss, nb = 0.0, 0
             t_step = time.time()
+            # Per-step float(metrics[...]) would block the host on every step
+            # and serialize it with the device pipeline (ruinous over
+            # tunneled/remote transports). Instead keep the device-side loss
+            # scalars and fetch one stacked chunk per print interval — a
+            # single sync per 10 steps, which also bounds host run-ahead.
+            chunk = []
             for idx, batch in enumerate(train_loader):
                 b = put(batch)
                 state, metrics = step_fn(state, b["image"], b["labels"], b["mask"])
-                loss = float(metrics["loss"])
-                epoch_loss += loss
+                chunk.append(metrics["loss"])
                 nb += 1
                 if idx % 10 == 0:
+                    losses = jax.device_get(jnp.stack(chunk))
+                    epoch_loss += float(losses.sum())
+                    chunk = []
                     dt = time.time() - t_step
                     ips = 10 * opt.bs / dt if idx else opt.bs / dt
                     t_step = time.time()
                     print(f"epoch {epoch} [{idx}/{len(train_loader)}] "
-                          f"loss {loss:.4f} gnorm {float(metrics['grad_norm']):.2f} "
+                          f"loss {float(losses[-1]):.4f} "
+                          f"gnorm {float(metrics['grad_norm']):.2f} "
                           f"{ips:.1f} img/s",
                           flush=True)
                 if save_logs and idx % 100 == 0:
                     logger.log_loss(epoch, idx, float(metrics["box"]),
                                     float(metrics["obj"]), float(metrics["cls"]))
+            if chunk:
+                epoch_loss += float(jax.device_get(jnp.stack(chunk)).sum())
             print(f"==> epoch {epoch} training_loss: {epoch_loss / max(nb,1):.2f} "
                   f"({time.time()-t0:.0f}s)")
 
@@ -226,17 +259,29 @@ def main(opt):
 def _dump_prediction_images(model, variables, anchors_norm, cfg, val_loader,
                             filename, epoch, labels, decode_predictions,
                             batched_nms, jnp, num_images: int = 5):
-    from yolov5m_tpu.ops.boxes import xywhn_to_xyxy
     from yolov5m_tpu.utils.plotting import save_prediction_images
     import numpy as _np
 
     batch = next(iter(val_loader))
     image = jnp.asarray(batch["image"])
-    preds = model.apply(variables, image, train=False)
-    rows = decode_predictions(preds, jnp.asarray(anchors_norm))
-    # visualization thresholds per reference plot_utils.py:82
-    det, valid = batched_nms(rows, 0.45, 0.25, cfg.max_detections,
-                             cfg.pre_nms_topk)
+
+    # one jitted graph (an eager forward dispatches per-op — pathologically
+    # slow on remote/tunneled backends), cached across epochs so it traces
+    # once per model instance
+    import jax as _jax
+
+    viz = _dump_prediction_images._viz_cache.get(id(model))
+    if viz is None:
+        @_jax.jit
+        def viz(v, x):
+            preds = model.apply(v, x, train=False)
+            rows = decode_predictions(preds, jnp.asarray(anchors_norm))
+            # visualization thresholds per reference plot_utils.py:82
+            return batched_nms(rows, 0.45, 0.25, cfg.max_detections,
+                               cfg.pre_nms_topk)
+        _dump_prediction_images._viz_cache[id(model)] = viz
+
+    det, valid = viz(variables, image)
     det, valid = _np.asarray(det), _np.asarray(valid)
     h, w = batch["image"].shape[1:3]
     pred_rows, gt_rows = [], []
@@ -244,7 +289,9 @@ def _dump_prediction_images(model, variables, anchors_norm, cfg, val_loader,
         pred_rows.append(det[b][valid[b]])
         gt = batch["labels"][b][batch["mask"][b]]
         if len(gt):
-            xyxy = _np.asarray(xywhn_to_xyxy(jnp.asarray(gt[:, 1:5]), w=w, h=h))
+            cx, cy, bw, bh = (gt[:, 1 + i] for i in range(4))
+            xyxy = _np.stack([w * (cx - bw / 2), h * (cy - bh / 2),
+                              w * (cx + bw / 2), h * (cy + bh / 2)], axis=-1)
             gt_rows.append(_np.concatenate(
                 [gt[:, :1], _np.ones((len(gt), 1)), xyxy], axis=1))
         else:
@@ -253,6 +300,9 @@ def _dump_prediction_images(model, variables, anchors_norm, cfg, val_loader,
                                "SAVED_IMAGES", filename, epoch, labels,
                                num_images)
     print(f"=> Saved {n} prediction images")
+
+
+_dump_prediction_images._viz_cache = {}
 
 
 if __name__ == "__main__":

@@ -80,6 +80,12 @@ class Config:
     epochs: int = 273
     batch_size: int = 16
 
+    # Learning-rate schedule (TPU-native extra; the reference trains at a
+    # constant lr, train.py:61 — production YOLOv5 recipes use warmup+cosine)
+    lr_schedule: str = "constant"        # constant | cosine
+    warmup_steps: int = 0                # linear 0→lr over N optimizer steps
+    lr_final: float = 0.01               # cosine floor as a fraction of lr
+
     @property
     def num_scales(self) -> int:
         return len(ANCHORS)

@@ -27,7 +27,6 @@ import numpy as np
 
 from yolov5m_tpu.config import Config
 from yolov5m_tpu.eval.metrics import MeanAveragePrecision
-from yolov5m_tpu.ops.boxes import xywhn_to_xyxy
 from yolov5m_tpu.ops.postprocess import fused_detect
 from yolov5m_tpu.train.targets import build_grid_targets
 
@@ -36,13 +35,21 @@ class Evaluator:
     """Runs accuracy + mAP over a val loader for a given model/params."""
 
     def __init__(self, model, anchors_norm, cfg: Config,
-                 anchors_px: Optional[np.ndarray] = None):
+                 anchors_px: Optional[np.ndarray] = None,
+                 fused_eval: bool = True):
         self.model = model
         self.anchors_norm = jnp.asarray(anchors_norm)   # (nl, na, 2) / stride
         self.anchors_px = (np.asarray(anchors_px) if anchors_px is not None
                            else np.asarray(anchors_norm) * np.asarray(
                                [8, 16, 32], np.float32)[:, None, None])
         self.cfg = cfg
+        # fused_eval: fold BN into the convs on device inside the eval jit
+        # (exact — see models/fuse.py) so the eval graph runs BN-free. Applies
+        # only when the model has BN (fused=False) and variables carry
+        # batch_stats; decided per call in eval_batch.
+        can_fuse = (fused_eval and hasattr(model, "clone")
+                    and getattr(model, "fused", None) is False)
+        self._fused_model = model.clone(fused=True) if can_fuse else None
         self._eval_batch = self._build_eval_batch()
 
     def _build_eval_batch(self):
@@ -50,7 +57,12 @@ class Evaluator:
 
         @jax.jit
         def eval_batch(variables, image, labels, mask):
-            preds = self.model.apply(variables, image, train=False)
+            if self._fused_model is not None and "batch_stats" in variables:
+                from yolov5m_tpu.models.fuse import fold_batchnorm_device
+                preds = self._fused_model.apply(
+                    fold_batchnorm_device(variables), image, train=False)
+            else:
+                preds = self.model.apply(variables, image, train=False)
 
             # --- fused gate+decode+NMS (fixed shape) ---
             det, det_valid = fused_detect(
@@ -103,9 +115,15 @@ class Evaluator:
                 keep = det_valid[b]
                 gt_mask = batch["mask"][b]
                 gt = batch["labels"][b][gt_mask]
-                gt_xyxy = np.asarray(xywhn_to_xyxy(jnp.asarray(gt[:, 1:5]),
-                                                   w=w, h=h)) if len(gt) else \
-                    np.zeros((0, 4), np.float32)
+                # host-side numpy conversion: a per-image device dispatch of a
+                # tiny op would serialize eval on remote/tunneled backends
+                if len(gt):
+                    cx, cy, bw, bh = (gt[:, 1 + i] for i in range(4))
+                    gt_xyxy = np.stack([w * (cx - bw / 2), h * (cy - bh / 2),
+                                        w * (cx + bw / 2), h * (cy + bh / 2)],
+                                       axis=-1)
+                else:
+                    gt_xyxy = np.zeros((0, 4), np.float32)
                 mapm.update(
                     preds=dict(boxes=det[b][keep][:, 2:6],
                                scores=det[b][keep][:, 1],

@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 # torch BatchNorm2d momentum 0.03 == flax decay 0.97 (flax: ra = m*ra + (1-m)*x)
@@ -33,6 +34,14 @@ class CBL(nn.Module):
     step mathematically identical to a single device on the global batch.
     Default None = local per-device statistics (the reference's single-device
     BN semantics, SURVEY.md §7 hard part 5).
+
+    quant: int8 PTQ inference (requires fused=True). The conv runs
+    int8×int8→int32 on the MXU's double-rate int8 path: input quantized
+    per-tensor against a calibrated scale (models/quantize.py), weights
+    per-output-channel symmetric. Dequantize + bias + SiLU fuse into the
+    conv epilogue; activations between blocks stay in compute dtype.
+    calibrate: sow per-call input absmax under "intermediates" for PTQ
+    calibration runs.
     """
 
     out_ch: int
@@ -42,9 +51,19 @@ class CBL(nn.Module):
     dtype: jnp.dtype = jnp.float32
     bn_axis: Optional[str] = None
     fused: bool = False   # inference with BN folded into conv (models/fuse.py)
+    quant: bool = False   # int8 PTQ path (models/quantize.py)
+    calibrate: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.calibrate:
+            self.sow("intermediates", "in_absmax",
+                     jnp.max(jnp.abs(x.astype(jnp.float32))),
+                     init_fn=lambda: jnp.float32(0),
+                     reduce_fn=jnp.maximum)
+        if self.quant:
+            assert self.fused, "int8 PTQ runs on the BN-folded model"
+            return self._quant_forward(x)
         x = nn.Conv(
             self.out_ch,
             (self.kernel, self.kernel),
@@ -65,6 +84,28 @@ class CBL(nn.Module):
             )(x)
         return nn.silu(x.astype(self.dtype))
 
+    def _quant_forward(self, x):
+        in_ch = x.shape[-1]
+        k = self.kernel
+        w_q = self.param("w_q", nn.initializers.zeros,
+                         (k, k, in_ch, self.out_ch), jnp.int8)
+        s_w = self.param("s_w", nn.initializers.ones,
+                         (self.out_ch,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.out_ch,), jnp.float32)
+        s_in = self.param("s_in", nn.initializers.ones, (), jnp.float32)
+
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_in),
+                      -127, 127).astype(jnp.int8)
+        dn = jax.lax.conv_dimension_numbers(
+            xq.shape, w_q.shape, ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(
+            xq, w_q, (self.stride, self.stride),
+            ((self.pad, self.pad), (self.pad, self.pad)),
+            dimension_numbers=dn, preferred_element_type=jnp.int32)
+        y = y.astype(jnp.float32) * (s_in * s_w) + bias
+        return nn.silu(y).astype(self.dtype)
+
 
 class Bottleneck(nn.Module):
     """Residual 1x1→3x3 block (reference model.py:32-50)."""
@@ -74,14 +115,16 @@ class Bottleneck(nn.Module):
     dtype: jnp.dtype = jnp.float32
     bn_axis: Optional[str] = None
     fused: bool = False
+    quant: bool = False
+    calibrate: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.width * x.shape[-1])
-        y = CBL(c_, 1, 1, 0, self.dtype, self.bn_axis, self.fused,
-                name="c1")(x, train)
-        y = CBL(self.out_ch, 3, 1, 1, self.dtype, self.bn_axis, self.fused,
-                name="c2")(y, train)
+        args = (self.dtype, self.bn_axis, self.fused, self.quant,
+                self.calibrate)
+        y = CBL(c_, 1, 1, 0, *args, name="c1")(x, train)
+        y = CBL(self.out_ch, 3, 1, 1, *args, name="c2")(y, train)
         return y + x
 
 
@@ -101,11 +144,14 @@ class C3(nn.Module):
     dtype: jnp.dtype = jnp.float32
     bn_axis: Optional[str] = None
     fused: bool = False
+    quant: bool = False
+    calibrate: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.width * x.shape[-1])
-        args = (self.dtype, self.bn_axis, self.fused)
+        args = (self.dtype, self.bn_axis, self.fused, self.quant,
+                self.calibrate)
         y = CBL(c_, 1, 1, 0, *args, name="c1")(x, train)
         for j in range(self.depth):
             if self.backbone:
@@ -125,18 +171,20 @@ class SPPF(nn.Module):
     dtype: jnp.dtype = jnp.float32
     bn_axis: Optional[str] = None
     fused: bool = False
+    quant: bool = False
+    calibrate: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = x.shape[-1] // 2
-        x = CBL(c_, 1, 1, 0, self.dtype, self.bn_axis, self.fused,
-                name="c1")(x, train)
+        args = (self.dtype, self.bn_axis, self.fused, self.quant,
+                self.calibrate)
+        x = CBL(c_, 1, 1, 0, *args, name="c1")(x, train)
         p1 = nn.max_pool(x, (5, 5), strides=(1, 1), padding=((2, 2), (2, 2)))
         p2 = nn.max_pool(p1, (5, 5), strides=(1, 1), padding=((2, 2), (2, 2)))
         p3 = nn.max_pool(p2, (5, 5), strides=(1, 1), padding=((2, 2), (2, 2)))
         out = jnp.concatenate([x, p1, p2, p3], axis=-1)
-        return CBL(self.out_ch, 1, 1, 0, self.dtype, self.bn_axis, self.fused,
-                   name="c_out")(out, train)
+        return CBL(self.out_ch, 1, 1, 0, *args, name="c_out")(out, train)
 
 
 def upsample2x_nearest(x: jnp.ndarray) -> jnp.ndarray:

@@ -52,3 +52,37 @@ def fold_batchnorm(variables) -> dict:
             fused[path] = value
 
     return {"params": traverse_util.unflatten_dict(fused)}
+
+
+def fold_batchnorm_device(variables) -> dict:
+    """Traceable (jnp) BN fold — same math as fold_batchnorm but usable INSIDE
+    a jit, so an evaluator can fold fresh (e.g. EMA) weights on device every
+    epoch without fetching ~85MB of params to the host. The per-channel
+    scale/shift is a negligible fraction of one forward pass.
+    """
+    import jax.numpy as jnp
+
+    params = traverse_util.flatten_dict(variables["params"])
+    stats = traverse_util.flatten_dict(variables["batch_stats"])
+
+    fused = {}
+    for path, value in params.items():
+        if path[-2:] == ("conv", "kernel"):
+            parent = path[:-2]
+            bn_scale = params.get(parent + ("bn", "scale"))
+            if bn_scale is None:
+                fused[path] = value
+                continue
+            bn_bias = params[parent + ("bn", "bias")]
+            mean = stats[parent + ("bn", "mean")]
+            var = stats[parent + ("bn", "var")]
+            s = (bn_scale / jnp.sqrt(var.astype(jnp.float32) + BN_EPS)
+                 ).astype(jnp.float32)
+            fused[path] = value * s                             # HWIO: O last
+            fused[parent + ("conv", "bias")] = bn_bias - mean * s
+        elif path[-2] == "bn":
+            continue
+        else:
+            fused[path] = value
+
+    return {"params": traverse_util.unflatten_dict(fused)}

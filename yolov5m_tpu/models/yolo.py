@@ -82,39 +82,41 @@ class YOLOv5(nn.Module):
     fused: bool = False             # BN folded into convs (models/fuse.py)
     stem_s2d: bool = False          # space-to-depth stem rewrite (models/s2d.py)
     depth_mult: float = 0.67        # C3 stack scaling (YOLOv5 family law)
+    quant: bool = False             # int8 PTQ inference (models/quantize.py)
+    calibrate: bool = False         # sow per-CBL input absmax for calibration
 
     def setup(self):
         fo, dt, ax = self.first_out, self.dtype, self.bn_axis
-        fu = self.fused
+        fu = (self.fused, self.quant, self.calibrate)
         d3 = _scaled_depth(3, self.depth_mult)   # m: 2
         d6 = _scaled_depth(6, self.depth_mult)   # m: 4
         d9 = _scaled_depth(9, self.depth_mult)   # m: 6
         # Backbone: 10 modules; taps after idx 4 (P3-level) and 6 (P4-level)
         # — reference model.py:184-195, 215-219.
-        stem = (CBL(fo, 3, 1, 1, dt, ax, fu) if self.stem_s2d
-                else CBL(fo, 6, 2, 2, dt, ax, fu))
+        stem = (CBL(fo, 3, 1, 1, dt, ax, *fu) if self.stem_s2d
+                else CBL(fo, 6, 2, 2, dt, ax, *fu))
         self.backbone = [
             stem,
-            CBL(fo * 2, 3, 2, 1, dt, ax, fu),
-            C3(fo * 2, 0.5, d3, True, dt, ax, fu),
-            CBL(fo * 4, 3, 2, 1, dt, ax, fu),
-            C3(fo * 4, 0.5, d6, True, dt, ax, fu),
-            CBL(fo * 8, 3, 2, 1, dt, ax, fu),
-            C3(fo * 8, 0.5, d9, True, dt, ax, fu),
-            CBL(fo * 16, 3, 2, 1, dt, ax, fu),
-            C3(fo * 16, 0.5, d3, True, dt, ax, fu),
-            SPPF(fo * 16, dt, ax, fu),
+            CBL(fo * 2, 3, 2, 1, dt, ax, *fu),
+            C3(fo * 2, 0.5, d3, True, dt, ax, *fu),
+            CBL(fo * 4, 3, 2, 1, dt, ax, *fu),
+            C3(fo * 4, 0.5, d6, True, dt, ax, *fu),
+            CBL(fo * 8, 3, 2, 1, dt, ax, *fu),
+            C3(fo * 8, 0.5, d9, True, dt, ax, *fu),
+            CBL(fo * 16, 3, 2, 1, dt, ax, *fu),
+            C3(fo * 16, 0.5, d3, True, dt, ax, *fu),
+            SPPF(fo * 16, dt, ax, *fu),
         ]
         # Neck: FPN-up + PAN-down — reference model.py:197-207, 221-237.
         self.neck = [
-            CBL(fo * 8, 1, 1, 0, dt, ax, fu),
-            C3(fo * 8, 0.25, d3, False, dt, ax, fu),
-            CBL(fo * 4, 1, 1, 0, dt, ax, fu),
-            C3(fo * 4, 0.25, d3, False, dt, ax, fu),
-            CBL(fo * 4, 3, 2, 1, dt, ax, fu),
-            C3(fo * 8, 0.5, d3, False, dt, ax, fu),
-            CBL(fo * 8, 3, 2, 1, dt, ax, fu),
-            C3(fo * 16, 0.5, d3, False, dt, ax, fu),
+            CBL(fo * 8, 1, 1, 0, dt, ax, *fu),
+            C3(fo * 8, 0.25, d3, False, dt, ax, *fu),
+            CBL(fo * 4, 1, 1, 0, dt, ax, *fu),
+            C3(fo * 4, 0.25, d3, False, dt, ax, *fu),
+            CBL(fo * 4, 3, 2, 1, dt, ax, *fu),
+            C3(fo * 8, 0.5, d3, False, dt, ax, *fu),
+            CBL(fo * 8, 3, 2, 1, dt, ax, *fu),
+            C3(fo * 16, 0.5, d3, False, dt, ax, *fu),
         ]
         self.head = Head(nc=self.nc, dtype=dt)
 

@@ -22,6 +22,7 @@ has no sequence dimension and fits comfortably in one chip's HBM
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Optional
 
 import jax
@@ -93,12 +94,18 @@ def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
 
 
 def make_dp_train_step(model, loss_fn, optimizer, mesh: Mesh,
-                       accumulate: int = 1, axis: str = "data") -> Callable:
+                       accumulate: int = 1, axis: str = "data",
+                       donate: bool = False) -> Callable:
     """shard_mapped + jitted DP train step.
 
     The global batch must divide the mesh size. Losses/grads are psum-summed
     over devices, so the update equals a single-device step on the full
     global batch (the reference's accumulation semantics, scaled out).
+
+    donate=True donates the input TrainState buffers to the step (the caller
+    must rebind, as a training loop does): the ~6 param-sized state arrays
+    (params, 2x Adam moments, accum grads, EMA) update in place instead of
+    allocating fresh HBM each step.
     """
     step_fn = make_train_step(model, loss_fn, optimizer,
                               accumulate=accumulate, pmean_axis=axis)
@@ -114,7 +121,9 @@ def make_dp_train_step(model, loss_fn, optimizer, mesh: Mesh,
         check_vma=True,
     )
 
-    @jax.jit
+    donate_kw = {"donate_argnums": (0,)} if donate else {}
+
+    @functools.partial(jax.jit, **donate_kw)
     def dp_step(state: TrainState, image, labels, mask):
         return sharded(state, image, labels, mask)
 

@@ -44,13 +44,36 @@ class TrainState(flax.struct.PyTreeNode):
         return self.ema_params
 
 
-def make_optimizer(cfg: Config) -> optax.GradientTransformation:
-    """clip(10.0) → +wd·θ (torch Adam coupled L2) → Adam → -lr."""
+def make_lr_schedule(cfg: Config, total_steps: Optional[int] = None):
+    """Learning-rate schedule in OPTIMIZER steps (accumulation-gated updates,
+    not micro-batches). "constant" reproduces the reference (train.py:61);
+    "cosine" is the production recipe: linear warmup 0→lr over
+    cfg.warmup_steps, then cosine decay to lr*cfg.lr_final at total_steps.
+    """
+    if cfg.lr_schedule == "constant":
+        return cfg.learning_rate
+    if cfg.lr_schedule == "cosine":
+        assert total_steps is not None, "cosine schedule needs total_steps"
+        decay_steps = max(total_steps - cfg.warmup_steps, 1)
+        cosine = optax.cosine_decay_schedule(
+            cfg.learning_rate, decay_steps, alpha=cfg.lr_final)
+        if cfg.warmup_steps <= 0:
+            return cosine
+        warmup = optax.linear_schedule(0.0, cfg.learning_rate,
+                                       cfg.warmup_steps)
+        return optax.join_schedules([warmup, cosine], [cfg.warmup_steps])
+    raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
+
+
+def make_optimizer(cfg: Config,
+                   total_steps: Optional[int] = None
+                   ) -> optax.GradientTransformation:
+    """clip(10.0) → +wd·θ (torch Adam coupled L2) → Adam → -lr(schedule)."""
     return optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
         optax.add_decayed_weights(cfg.weight_decay),
         optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
-        optax.scale(-cfg.learning_rate),
+        optax.scale_by_learning_rate(make_lr_schedule(cfg, total_steps)),
     )
 
 
@@ -66,7 +89,9 @@ def create_train_state(model, cfg: Config, rng, input_hw: Tuple[int, int],
         batch_stats=variables["batch_stats"],
         opt_state=optimizer.init(params),
         accum_grads=jax.tree.map(jnp.zeros_like, params),
-        ema_params=params,
+        # materialized copy, NOT an alias of params: a donated train step
+        # (jit(..., donate_argnums=0)) must not see the same buffer twice
+        ema_params=jax.tree.map(lambda x: x.copy(), params),
     )
 
 
