@@ -1,0 +1,62 @@
+"""Native libjpeg decode (native/preprocess.cc decode_jpeg_u8) vs PIL.
+
+Both decode through libjpeg, so on a well-formed baseline JPEG the outputs
+must agree exactly; grayscale files must come back as 3-channel RGB; corrupt
+buffers must degrade to the PIL fallback (None), never crash the process
+(the default libjpeg error handler exit()s — we trampoline out instead).
+"""
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from yolov5m_tpu.data.native import decode_jpeg, load_image_rgb, native_available
+
+pytestmark = pytest.mark.skipif(not native_available(),
+                                reason="native lib unavailable")
+
+
+def _jpeg_bytes(arr, mode="RGB", quality=90):
+    buf = io.BytesIO()
+    Image.fromarray(arr, mode).save(buf, "JPEG", quality=quality)
+    return buf.getvalue()
+
+
+def test_decode_matches_pil(rng):
+    arr = rng.integers(0, 255, (37, 53, 3), np.uint8)
+    data = _jpeg_bytes(arr)
+    ours = decode_jpeg(data)
+    ref = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    assert ours is not None and ours.shape == ref.shape
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_grayscale_decodes_to_rgb(rng):
+    arr = rng.integers(0, 255, (20, 31), np.uint8)
+    data = _jpeg_bytes(arr, mode="L")
+    ours = decode_jpeg(data)
+    assert ours is not None and ours.shape == (20, 31, 3)
+    ref = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_corrupt_buffer_returns_none(rng):
+    assert decode_jpeg(b"\xff\xd8 not actually a jpeg") is None
+    assert decode_jpeg(b"PNG-ish junk") is None
+    truncated = _jpeg_bytes(rng.integers(0, 255, (64, 64, 3), np.uint8))[:40]
+    assert decode_jpeg(bytes(truncated)) is None
+
+
+def test_load_image_rgb_jpeg_and_png(tmp_path, rng):
+    arr = rng.integers(0, 255, (24, 24, 3), np.uint8)
+    jp = tmp_path / "a.jpg"
+    Image.fromarray(arr).save(jp, "JPEG", quality=95)
+    out = load_image_rgb(str(jp))
+    ref = np.asarray(Image.open(jp).convert("RGB"))
+    np.testing.assert_array_equal(out, ref)
+
+    pp = tmp_path / "b.png"
+    Image.fromarray(arr).save(pp, "PNG")
+    np.testing.assert_array_equal(load_image_rgb(str(pp)), arr)  # PIL path

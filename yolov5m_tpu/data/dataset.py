@@ -33,7 +33,7 @@ except ImportError:  # pragma: no cover
 
 from PIL import Image
 
-from yolov5m_tpu.data.native import resize_bilinear
+from yolov5m_tpu.data.native import load_image_rgb, resize_bilinear
 
 
 def _coco_to_yolo_np(b: np.ndarray, w0: float, h0: float) -> np.ndarray:
@@ -205,7 +205,8 @@ class DetectionDataset:
             h_t, w_t = target_hw
         elif not self.rect:
             h_t = w_t = self.default_size
-        img = np.asarray(Image.open(os.path.join(self.images_dir, name)).convert("RGB"))
+        # native libjpeg decode (GIL-free; PIL fallback for other formats)
+        img = load_image_rgb(os.path.join(self.images_dir, name))
         label_path = os.path.join(self.labels_dir, os.path.splitext(name)[0] + ".txt")
         labels = load_label_file(label_path, self.box_format,
                                  w0=img.shape[1], h0=img.shape[0])

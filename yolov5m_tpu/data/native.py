@@ -50,6 +50,12 @@ def _load_lib() -> Optional[ctypes.CDLL]:
                                      ctypes.c_uint8]
         lib.normalize_u8_to_f32.argtypes = [u8p, ctypes.POINTER(ctypes.c_float),
                                             ctypes.c_int64]
+        ip = ctypes.POINTER(ctypes.c_int)
+        lib.jpeg_dims.argtypes = [u8p, ctypes.c_int64, ip, ip]
+        lib.jpeg_dims.restype = ctypes.c_int
+        lib.decode_jpeg_u8.argtypes = [u8p, ctypes.c_int64, u8p,
+                                       ctypes.c_int, ctypes.c_int]
+        lib.decode_jpeg_u8.restype = ctypes.c_int
         _lib = lib
     except Exception:
         _lib = None
@@ -130,6 +136,48 @@ def letterbox(img: np.ndarray, new_hw: Tuple[int, int], fill: int = 114,
     dst = np.full((nh, nw) + img.shape[2:], fill, dtype=np.uint8)
     dst[top:top + uh, left:left + uw] = src_u8
     return dst.astype(img.dtype, copy=False), (r, r), (dw, dh)
+
+
+def decode_jpeg(path_or_bytes) -> Optional[np.ndarray]:
+    """Decode a JPEG to (h, w, 3) RGB uint8 with the native libjpeg kernel
+    (no GIL held during decode — loader threads parallelize for real, unlike
+    PIL's Python-level open/convert). Returns None when the native lib is
+    unavailable or the buffer isn't a decodable JPEG; callers fall back to
+    PIL (non-JPEG formats always take the fallback)."""
+    lib = _load_lib()
+    if lib is None:
+        return None
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        buf = np.frombuffer(path_or_bytes, np.uint8)
+    else:
+        try:
+            buf = np.fromfile(path_or_bytes, np.uint8)
+        except OSError:
+            return None
+    if buf.size < 3 or buf[0] != 0xFF or buf[1] != 0xD8:   # SOI marker
+        return None
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    if lib.jpeg_dims(_as_u8p(buf), buf.size, ctypes.byref(h),
+                     ctypes.byref(w)):
+        return None
+    out = np.empty((h.value, w.value, 3), np.uint8)
+    if lib.decode_jpeg_u8(_as_u8p(buf), buf.size, _as_u8p(out), h.value,
+                          w.value):
+        return None
+    return out
+
+
+def load_image_rgb(path: str) -> np.ndarray:
+    """(h, w, 3) RGB uint8 from disk: native libjpeg fast path for JPEGs,
+    PIL for everything else (replaces the reference's PIL-everywhere load,
+    reference dataset.py:88)."""
+    img = decode_jpeg(path)
+    if img is not None:
+        return img
+    from PIL import Image
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"))
 
 
 def native_available() -> bool:

@@ -140,25 +140,40 @@ def make_train_step(
             # (forward stats are local unless the model sets bn_axis=sync-BN).
             new_stats = jax.lax.pmean(new_stats, pmean_axis)
 
-        accum = jax.tree.map(jnp.add, state.accum_grads, grads)
         step = state.step + 1
-        do_update = (step % accumulate) == 0
 
-        def apply_update(_):
-            updates, new_opt = optimizer.update(accum, state.opt_state,
+        if accumulate == 1:
+            # static specialization: every micro-batch is an optimizer step,
+            # so skip the accumulation buffer (two full param-tree passes)
+            # and the lax.cond entirely
+            updates, new_opt = optimizer.update(grads, state.opt_state,
                                                 state.params)
             new_params = optax.apply_updates(state.params, updates)
-            d = _ema_decay(step // accumulate)
+            d = _ema_decay(step)
             new_ema = jax.tree.map(
-                lambda e, p: e * d + p * (1.0 - d), state.ema_params, new_params)
-            zeroed = jax.tree.map(jnp.zeros_like, accum)
-            return new_params, new_opt, zeroed, new_ema
+                lambda e, p: e * d + p * (1.0 - d), state.ema_params,
+                new_params)
+            new_accum = state.accum_grads
+        else:
+            accum = jax.tree.map(jnp.add, state.accum_grads, grads)
+            do_update = (step % accumulate) == 0
 
-        def keep(_):
-            return state.params, state.opt_state, accum, state.ema_params
+            def apply_update(_):
+                updates, new_opt = optimizer.update(accum, state.opt_state,
+                                                    state.params)
+                new_params = optax.apply_updates(state.params, updates)
+                d = _ema_decay(step // accumulate)
+                new_ema = jax.tree.map(
+                    lambda e, p: e * d + p * (1.0 - d), state.ema_params,
+                    new_params)
+                zeroed = jax.tree.map(jnp.zeros_like, accum)
+                return new_params, new_opt, zeroed, new_ema
 
-        new_params, new_opt, new_accum, new_ema = jax.lax.cond(
-            do_update, apply_update, keep, None)
+            def keep(_):
+                return state.params, state.opt_state, accum, state.ema_params
+
+            new_params, new_opt, new_accum, new_ema = jax.lax.cond(
+                do_update, apply_update, keep, None)
 
         new_state = state.replace(
             step=step, params=new_params, batch_stats=new_stats,
