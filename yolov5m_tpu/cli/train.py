@@ -69,6 +69,10 @@ def arg_parser():
                         "(production recipe)")
     p.add_argument("--warmup_epochs", type=float, default=0.0,
                    help="linear lr warmup span in epochs (cosine schedule)")
+    p.add_argument("--coco_dump", type=str, default=None,
+                   help="directory for COCO-format eval dumps "
+                        "(annotations.json + results.json) so the metrics "
+                        "can be re-scored externally with pycocotools")
     return p.parse_args()
 
 
@@ -237,7 +241,9 @@ def main(opt):
                   f"({time.time()-t0:.0f}s)")
 
         variables = {"params": state.eval_params, "batch_stats": state.batch_stats}
-        results = evaluator.run(variables, val_loader)
+        results = evaluator.run(
+            variables, val_loader,
+            coco_dump_dir=getattr(opt, "coco_dump", None), class_names=labels)
         print(f"Class accuracy: {results['class_accuracy']*100:.2f}%")
         print(f"Obj accuracy: {results['obj_accuracy']*100:.2f}%")
         print(f"MAP50: {results['map50']:.4f}, MAP75: {results['map75']:.4f}")

@@ -92,8 +92,20 @@ class Evaluator:
 
         return eval_batch
 
-    def run(self, variables, loader: Iterable[dict]) -> dict:
-        """Evaluate over a BatchLoader. Returns metrics dict."""
+    def run(self, variables, loader: Iterable[dict],
+            coco_dump_dir: Optional[str] = None,
+            class_names=None) -> dict:
+        """Evaluate over a BatchLoader. Returns metrics dict.
+
+        coco_dump_dir: also write standard COCO-format annotations.json +
+        results.json there (eval/coco_dump.py) so the run can be re-scored
+        externally with pycocotools/torchmetrics.
+        """
+        dump = None
+        if coco_dump_dir is not None:
+            from yolov5m_tpu.eval.coco_dump import CocoDump
+            dump = CocoDump(class_names)
+        image_id = 0
         mapm = MeanAveragePrecision()
         counts = np.zeros(4)
         for batch in loader:
@@ -129,7 +141,15 @@ class Evaluator:
                                scores=det[b][keep][:, 1],
                                labels=det[b][keep][:, 0]),
                     targets=dict(boxes=gt_xyxy, labels=gt[:, 0]))
+                if dump is not None:
+                    dump.add_image(image_id, w, h,
+                                   det[b][keep][:, 2:6], det[b][keep][:, 1],
+                                   det[b][keep][:, 0], gt_xyxy, gt[:, 0])
+                image_id += 1
 
+        if dump is not None:
+            paths = dump.write(coco_dump_dir)
+            print(f"=> COCO-format eval dump: {paths['results']}")
         m = mapm.compute()
         class_acc = counts[0] / (counts[1] + 1e-16)
         obj_acc = counts[2] / (counts[3] + 1e-16)
