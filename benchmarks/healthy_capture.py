@@ -28,8 +28,8 @@ def section(title):
     print(f"\n===== {title} =====", flush=True)
 
 
-def bench_fn(name, fn, xs, bs, n_rounds=3):
-    """Relay-proof timing (same scheme as bench.py): iterations are
+def _chained(fn):
+    """Relay-proof wrapper (same scheme as bench.py): iterations are
     dependency-chained through a device-side scalar folded into each input,
     so (a) no two executions ever see byte-identical arguments (the relay
     result-caches identical calls) and (b) one final scalar fetch forces the
@@ -39,7 +39,11 @@ def bench_fn(name, fn, xs, bs, n_rounds=3):
         out = fn(x + (acc * 0).astype(x.dtype))
         leaf = jax.tree.leaves(out)[0]
         return acc + leaf.astype(jnp.float32).sum()
+    return chained
 
+
+def bench_fn(name, fn, xs, bs, n_rounds=3):
+    chained = _chained(fn)
     acc = jnp.float32(0.0)
     for x in xs:
         acc = chained(x, acc)
@@ -52,6 +56,41 @@ def bench_fn(name, fn, xs, bs, n_rounds=3):
     dt = (time.perf_counter() - t0) / (n_rounds * len(xs))
     print(f"{name:44s} {dt*1000:7.2f} ms/batch  {bs/dt:7.1f} img/s", flush=True)
     return dt
+
+
+def bench_arms(arms, xs, bs, n_rounds=4):
+    """A/B with INTERLEAVED arms: each round times every arm once over xs, so
+    a chip flap mid-run hits all arms instead of biasing one. Reports each
+    arm's BEST round (chip capability) and the full segment list.
+    arms: {name: fn}. Returns {name: best ms/batch}."""
+    chained = {}
+    acc = jnp.float32(0.0)
+    for name, fn in list(arms.items()):
+        try:
+            c = _chained(fn)
+            a = c(xs[0], acc)
+            float(a)                       # compile + warm
+            chained[name] = c
+        except Exception as e:
+            print(f"{name}: FAILED {type(e).__name__}: {str(e)[:200]}",
+                  flush=True)
+    segs = {name: [] for name in chained}
+    for _ in range(n_rounds):
+        for name, c in chained.items():
+            acc = jnp.float32(0.0)
+            t0 = time.perf_counter()
+            for x in xs:
+                acc = c(x, acc)
+            float(acc)
+            segs[name].append((time.perf_counter() - t0) / len(xs))
+    best = {}
+    for name, ss in segs.items():
+        dt = min(ss)
+        best[name] = dt
+        all_ms = "/".join(f"{s*1000:.1f}" for s in ss)
+        print(f"{name:44s} best {dt*1000:7.2f} ms/batch  {bs/dt:7.1f} img/s"
+              f"  (rounds: {all_ms})", flush=True)
+    return best
 
 
 def main():
@@ -96,36 +135,35 @@ def main():
     xs = [gen(jax.random.PRNGKey(i)) for i in range(8)]
     jax.block_until_ready(xs)
 
-    section("2. NMS backend A/B (full fused pipeline)")
+    section("2. NMS backend A/B (full fused pipeline, interleaved arms)")
+    arms = {}
     for k in (1024, 2048):
         for backend in ("xla", "xla_loop", "pallas"):
-            f = jax.jit(lambda x, b=backend, kk=k: fused_detect(
-                model.apply(fvars, x, train=False), anchors,
-                conf_threshold=0.25, iou_threshold=0.6,
-                pre_nms_topk=kk, backend=b))
-            try:
-                bench_fn(f"pipeline K={k} nms={backend}", f, xs, bs)
-            except Exception as e:
-                print(f"pipeline K={k} nms={backend}: FAILED {type(e).__name__}: "
-                      f"{str(e)[:200]}", flush=True)
+            arms[f"pipeline K={k} nms={backend}"] = (
+                lambda x, b=backend, kk=k: fused_detect(
+                    model.apply(fvars, x, train=False), anchors,
+                    conf_threshold=0.25, iou_threshold=0.6,
+                    pre_nms_topk=kk, backend=b))
+    bench_arms(arms, xs, bs)
 
-    section("3. s2d stem A/B")
+    section("3. s2d stem A/B (interleaved arms)")
     s2d_model = YOLOv5(first_out=48, nc=80, dtype=jnp.bfloat16, fused=True,
                        stem_s2d=True)
     s2d_vars = stem_weights_to_s2d(fvars)
-    bench_fn("fwd only, default stem",
-             jax.jit(lambda x: model.apply(fvars, x, train=False)[0]), xs, bs)
-    bench_fn("fwd only, s2d stem",
-             jax.jit(lambda x: s2d_model.apply(s2d_vars, x, train=False)[0]),
-             xs, bs)
-    bench_fn("pipeline, default stem",
-             jax.jit(lambda x: fused_detect(
-                 model.apply(fvars, x, train=False), anchors,
-                 conf_threshold=0.25, iou_threshold=0.6)), xs, bs)
-    bench_fn("pipeline, s2d stem",
-             jax.jit(lambda x: fused_detect(
-                 s2d_model.apply(s2d_vars, x, train=False), anchors,
-                 conf_threshold=0.25, iou_threshold=0.6)), xs, bs)
+    bench_arms({
+        "fwd only, default stem":
+            lambda x: model.apply(fvars, x, train=False)[0],
+        "fwd only, s2d stem":
+            lambda x: s2d_model.apply(s2d_vars, x, train=False)[0],
+        "pipeline, default stem":
+            lambda x: fused_detect(model.apply(fvars, x, train=False),
+                                   anchors, conf_threshold=0.25,
+                                   iou_threshold=0.6),
+        "pipeline, s2d stem":
+            lambda x: fused_detect(s2d_model.apply(s2d_vars, x, train=False),
+                                   anchors, conf_threshold=0.25,
+                                   iou_threshold=0.6),
+    }, xs, bs)
 
     section("4. train-step decomposition")
     subprocess.run([sys.executable,
