@@ -105,7 +105,7 @@ def main(batch_size: int = 64, warmup: int = 1) -> None:
     # individually honest (chained + final scalar fetch), and the full
     # segment list is embedded so a capture is self-describing.
     seg_iters = 8
-    max_seconds = float(os.environ.get("BENCH_MAX_SECONDS", "420"))
+    max_seconds = float(os.environ.get("BENCH_MAX_SECONDS", "720"))
     deadline = time.time() + max_seconds
     segments = []
     n_fast = 0
