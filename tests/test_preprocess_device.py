@@ -52,3 +52,47 @@ def test_serving_fn_end_to_end(rng):
     if len(rows):  # random init: boxes exist and live in source-frame bounds
         assert np.all(rows[:, 2] >= 0) and np.all(rows[:, 4] <= 160)
         assert np.all(rows[:, 3] >= 0) and np.all(rows[:, 5] <= 96)
+
+
+def test_serving_fn_int8_quantized(rng):
+    """The PTQ-quantized model drops into make_serving_fn unchanged and its
+    detections track the fused bf16/f32 serving output."""
+    import jax
+
+    from yolov5m_tpu.models import YOLOv5, fold_batchnorm, quantize_int8
+    from yolov5m_tpu.models.yolo import normalized_anchors
+    from yolov5m_tpu.ops.preprocess import letterbox_normalize
+
+    model = YOLOv5(first_out=8, nc=4, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+    variables = {"params": variables["params"],
+                 "batch_stats": jax.tree.map(lambda x: x + 0.01,
+                                             variables["batch_stats"])}
+    anchors = jnp.asarray(normalized_anchors())
+    frames = rng.integers(0, 255, (2, 96, 160, 3), np.uint8)
+
+    # calibrate on what serving actually feeds the model
+    calib = [letterbox_normalize(jnp.asarray(frames), (128, 128))]
+    qmodel, qvars = quantize_int8(model, variables, calib)
+
+    fused_model = model.clone(fused=True)
+    serve_ref = make_serving_fn(fused_model, fold_batchnorm(variables),
+                                anchors, src_hw=(96, 160), image_size=128,
+                                conf=0.0001, pre_nms_topk=128)
+    serve_q = make_serving_fn(qmodel, qvars, anchors, src_hw=(96, 160),
+                              image_size=128, conf=0.0001, pre_nms_topk=128)
+    det_r, valid_r = (np.asarray(a) for a in serve_ref(jnp.asarray(frames)))
+    det_q, valid_q = (np.asarray(a) for a in serve_q(jnp.asarray(frames)))
+    assert det_q.shape == det_r.shape
+    # same detection structure: counts close, and every top ref box has a
+    # well-overlapping quantized box (random-init logits sit near the conf
+    # threshold, so positional row comparison would be order-fragile)
+    assert abs(int(valid_q.sum()) - int(valid_r.sum())) <= max(
+        3, int(0.1 * valid_r.sum()))
+    ref_boxes = det_r[0][valid_r[0]][:5, 2:6]
+    q_boxes = det_q[0][valid_q[0]][:, 2:6]
+    if len(ref_boxes) and len(q_boxes):
+        from yolov5m_tpu.ops.boxes import pairwise_iou_xyxy
+        iou = np.asarray(pairwise_iou_xyxy(jnp.asarray(ref_boxes),
+                                           jnp.asarray(q_boxes)))
+        assert float(np.median(iou.max(axis=1))) > 0.7
