@@ -3,9 +3,8 @@
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
-from yolov5m_tpu.config import Config
 from yolov5m_tpu.data.augment import TrainAugment
 from yolov5m_tpu.data.dataset import BatchLoader, DetectionDataset
 

@@ -18,7 +18,6 @@ utils/validation_utils.py:11-144), redesigned for the TPU pipeline:
 
 from __future__ import annotations
 
-import functools
 from typing import Iterable, Optional, Tuple
 
 import jax

@@ -14,8 +14,6 @@ way: fewer ops to fuse, one epilogue per conv.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import numpy as np
 from flax import traverse_util

@@ -19,7 +19,6 @@ lacks but the north-star config requires (BASELINE.json configs[4]).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Optional, Sequence, Tuple
 
 import flax.struct

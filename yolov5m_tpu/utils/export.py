@@ -7,7 +7,7 @@ jax.export, runnable by any StableHLO consumer (XLA, IREE, TF, ...).
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
