@@ -45,6 +45,11 @@ def arg_parser():
     p.add_argument("--int8", action="store_true",
                    help="post-training int8 quantization (implies --fuse; "
                         "calibrates on the input image; models/quantize.py)")
+    p.add_argument("--all", action="store_true",
+                   help="with --img_dir: process EVERY image (batched "
+                        "inference), not one random image")
+    p.add_argument("--bs", type=int, default=16,
+                   help="batch size for --all directory mode")
     p.add_argument("--out", type=str, default="detections_exp")
     return p.parse_args()
 
@@ -103,6 +108,11 @@ def main(opt):
                        dtype=jnp.bfloat16, fused=True, depth_mult=fam_dm)
     anchors_norm = jnp.asarray(normalized_anchors())
 
+    if getattr(opt, "all", False):
+        assert getattr(opt, "img_dir", None), "--all needs --img_dir"
+        _detect_dir(opt, model, variables, anchors_norm, cfg, labels)
+        return
+
     img_path = opt.img
     if img_path is None:
         import random
@@ -159,6 +169,80 @@ def main(opt):
         plot_image(raw.astype(np.float32) / 255.0, rows, labels,
                    save_path=out_path)
         print(f"saved {out_path}")
+
+
+def _detect_dir(opt, model, variables, anchors_norm, cfg, labels):
+    """Batched inference over every image in --img_dir: host letterbox to a
+    common canvas, fixed-shape batches through ONE jitted graph, detections
+    unletterboxed per image back to its own source coordinates. Results go
+    to stdout and (with --save_pred) annotated images + a detections.json
+    under --out."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from yolov5m_tpu.data.native import letterbox, load_image_rgb
+    from yolov5m_tpu.ops.boxes import unletterbox_boxes
+    from yolov5m_tpu.ops.postprocess import fused_detect
+    from yolov5m_tpu.utils.plotting import plot_image
+
+    names = sorted(f for f in os.listdir(opt.img_dir)
+                   if f.lower().endswith((".jpg", ".jpeg", ".png")))
+    assert names, f"no images in {opt.img_dir}"
+    bs = max(1, opt.bs)
+    size = opt.image_size
+    anchors = jnp.asarray(anchors_norm)
+
+    @jax.jit
+    def infer(v, x):
+        preds = model.apply(v, x, train=False)
+        return fused_detect(preds, anchors, conf_threshold=opt.conf,
+                            iou_threshold=opt.iou,
+                            max_detections=cfg.max_detections,
+                            pre_nms_topk=cfg.pre_nms_topk)
+
+    if opt.save_pred:
+        os.makedirs(opt.out, exist_ok=True)
+    all_results = {}
+    t0 = time.perf_counter()
+    for start in range(0, len(names), bs):
+        chunk = names[start:start + bs]
+        raws, geoms = [], []
+        batch = np.full((bs, size, size, 3), 114, np.uint8)  # pad short batch
+        for j, name in enumerate(chunk):
+            raw = load_image_rgb(os.path.join(opt.img_dir, name))
+            img, ratio, (dw, dh) = letterbox(raw, (size, size))
+            batch[j] = img
+            raws.append(raw)
+            geoms.append((ratio, (dw, dh)))
+        det, valid = infer(variables,
+                           jnp.asarray(batch.astype(np.float32) / 255.0))
+        det, valid = np.asarray(det), np.asarray(valid)
+        for j, name in enumerate(chunk):
+            rows = det[j][valid[j]].copy()
+            ratio, (dw, dh) = geoms[j]
+            if len(rows):
+                rows[:, 2:6] = np.asarray(unletterbox_boxes(
+                    rows[:, 2:6], ratio, (dw, dh), raws[j].shape[:2]))
+            all_results[name] = [
+                {"class": labels[int(r[0])] if int(r[0]) < len(labels)
+                 else str(int(r[0])),
+                 "conf": float(r[1]),
+                 "box_xyxy": [float(v) for v in r[2:6]]} for r in rows]
+            print(f"{name}: {len(rows)} detections")
+            if opt.save_pred:
+                out_path = os.path.join(
+                    opt.out, os.path.splitext(name)[0] + "_pred.png")
+                plot_image(raws[j].astype(np.float32) / 255.0, rows, labels,
+                           save_path=out_path)
+    dt = time.perf_counter() - t0
+    print(f"{len(names)} images in {dt:.2f}s ({len(names)/dt:.1f} img/s "
+          f"incl. host decode + compile)")
+    if opt.save_pred:
+        with open(os.path.join(opt.out, "detections.json"), "w") as f:
+            json.dump(all_results, f, indent=1)
+        print(f"saved {opt.out}/detections.json")
 
 
 if __name__ == "__main__":
