@@ -82,3 +82,23 @@ def test_strip_checkpoint_bf16():
     stripped = strip_checkpoint(state, keep_ema=False)
     assert set(stripped) == {"params", "batch_stats"}
     assert np.asarray(stripped["params"]["w"]).dtype == np.dtype("bfloat16")
+
+
+def test_save_best_tracks_improvements(tmp_path):
+    from yolov5m_tpu.utils.checkpoint import load_checkpoint, save_best
+
+    state = {"w": np.arange(4, dtype=np.float32)}
+    assert save_best(state, str(tmp_path), "run", 1, 0.40) is not None
+    # regression: not saved
+    state2 = {"w": np.full(4, 9.0, np.float32)}
+    assert save_best(state2, str(tmp_path), "run", 2, 0.30) is None
+    # improvement: overwrites
+    state3 = {"w": np.full(4, 7.0, np.float32)}
+    path = save_best(state3, str(tmp_path), "run", 3, 0.55)
+    assert path is not None
+    from flax import serialization
+    with open(path, "rb") as f:
+        best = serialization.from_bytes({"w": np.zeros(4, np.float32)}, f.read())
+    np.testing.assert_array_equal(best["w"], state3["w"])
+    marker = (tmp_path / "run" / "best.txt").read_text().split()
+    assert marker[0] == "3" and abs(float(marker[1]) - 0.55) < 1e-6

@@ -113,7 +113,8 @@ def main(opt):
     from yolov5m_tpu.train.trainer import (
         accumulation_steps, create_train_state, make_optimizer, make_train_step)
     from yolov5m_tpu.utils import (
-        CSVLogger, latest_epoch, load_checkpoint, next_run_name, save_checkpoint)
+        CSVLogger, latest_epoch, load_checkpoint, next_run_name, save_best,
+        save_checkpoint)
     from yolov5m_tpu.utils.plotting import save_prediction_images
 
     from yolov5m_tpu.models.yolo import FAMILY
@@ -260,6 +261,10 @@ def main(opt):
         if not opt.nosavemodel:
             save_checkpoint(state, ckpt_root, filename, epoch)
             print("=> Saving checkpoint...")
+            best = save_best(state, ckpt_root, filename, epoch,
+                             results["map50"])
+            if best:
+                print(f"=> New best mAP50 {results['map50']:.4f} -> {best}")
 
 
 def _dump_prediction_images(model, variables, anchors_norm, cfg, val_loader,

@@ -69,6 +69,35 @@ def next_run_name(folder_path: str) -> str:
     return f"model_{max(nums) + 1}" if nums else "model_1"
 
 
+def save_best(state: Any, folder_path: str, filename: str, epoch: int,
+              metric: float) -> Optional[str]:
+    """Keep a `checkpoint_best.msgpack` (+ sidecar best.txt with epoch and
+    metric) updated whenever `metric` improves on the recorded best. Returns
+    the path when written, None when not an improvement. No reference
+    equivalent (the reference keeps every epoch only)."""
+    run_dir = os.path.join(folder_path, filename)
+    os.makedirs(run_dir, exist_ok=True)
+    marker = os.path.join(run_dir, "best.txt")
+    prev = -float("inf")
+    if os.path.isfile(marker):
+        try:
+            prev = float(open(marker).read().split()[1])
+        except (IndexError, ValueError):
+            pass
+    if metric <= prev:
+        return None
+    host_state = jax.tree.map(np.asarray, state)
+    out = os.path.join(run_dir, "checkpoint_best.msgpack")
+    tmp = out + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(serialization.to_bytes(host_state))
+    os.replace(tmp, out)
+    with open(marker + ".tmp", "w") as f:
+        f.write(f"{epoch} {metric:.6f}\n")
+    os.replace(marker + ".tmp", marker)
+    return out
+
+
 def strip_checkpoint(state: Any, keep_ema: bool = True) -> dict:
     """Deployment strip: keep only inference variables, cast params to
     bfloat16 (the reference's strip_model/half analog, utils/utils.py:25-28).
