@@ -109,21 +109,27 @@ def main(batch_size: int = 64, warmup: int = 1) -> None:
     deadline = time.time() + max_seconds
     segments = []
     n_fast = 0
+    # ONE accumulator threaded across ALL probes and segments for the whole
+    # run: resetting it would make later segments byte-identical replays of
+    # the first (same xs order, same acc trajectory), which a result-caching
+    # relay could serve without executing — max(segments) would then pick a
+    # cache-inflated fiction. Monotone acc ⇒ every call is unique.
+    k = 0
     while True:
         # adaptive probe: ONE chained iteration first. In a degraded window a
         # full 8-iter segment costs ~1 minute of budget; a single iteration
         # detects the state in ~1/8 of that, so the loop samples the flapping
         # chip ~8x more often and is far likelier to catch a healthy window.
-        acc = jnp.float32(0.0)
         t0 = time.perf_counter()
-        det, valid, acc = infer(variables, xs[1], acc)
+        det, valid, acc = infer(variables, xs[k % len(xs)], acc)
+        k += 1
         assert float(acc) >= 0.0
         probe_dt = time.perf_counter() - t0
         if probe_dt < batch_size / A100_TARGET_IMG_S * 4:   # plausibly fast
-            acc = jnp.float32(0.0)
             t0 = time.perf_counter()
-            for i in range(seg_iters):
-                det, valid, acc = infer(variables, xs[(i + 1) % len(xs)], acc)
+            for _ in range(seg_iters):
+                det, valid, acc = infer(variables, xs[k % len(xs)], acc)
+                k += 1
             n_detections = float(acc)  # scalar fetch: forces the full chain
             dt = time.perf_counter() - t0
             assert n_detections >= 0.0

@@ -64,24 +64,28 @@ def bench_arms(arms, xs, bs, n_rounds=4):
     arm's BEST round (chip capability) and the full segment list.
     arms: {name: fn}. Returns {name: best ms/batch}."""
     chained = {}
-    acc = jnp.float32(0.0)
+    accs = {}   # per-arm accumulator threaded across ALL rounds: resetting
+    # would make round r+1 a byte-identical replay of round r (same xs, same
+    # acc trajectory) that a result-caching relay could serve unexecuted
     for name, fn in list(arms.items()):
         try:
             c = _chained(fn)
-            a = c(xs[0], acc)
+            a = c(xs[0], jnp.float32(0.0))
             float(a)                       # compile + warm
             chained[name] = c
+            accs[name] = a
         except Exception as e:
             print(f"{name}: FAILED {type(e).__name__}: {str(e)[:200]}",
                   flush=True)
     segs = {name: [] for name in chained}
     for _ in range(n_rounds):
         for name, c in chained.items():
-            acc = jnp.float32(0.0)
+            acc = accs[name]
             t0 = time.perf_counter()
             for x in xs:
                 acc = c(x, acc)
             float(acc)
+            accs[name] = acc
             segs[name].append((time.perf_counter() - t0) / len(xs))
     best = {}
     for name, ss in segs.items():

@@ -74,6 +74,8 @@ def main(bs=BS, rounds=4):
     }
 
     chained = {}
+    accs = {}   # threaded across rounds: a reset would replay identical
+    # (input, acc) sequences, which a result-caching relay could serve
     for name, fn in arms.items():
         @jax.jit
         def c(img, labels, mask, acc, fn=fn):
@@ -81,8 +83,9 @@ def main(bs=BS, rounds=4):
         a = c(*batches[0], jnp.float32(0.0))
         float(a)
         chained[name] = c
+        accs[name] = a
 
-    # warm the full step
+    # warm the full step (state threading makes every step call unique)
     state = state0
     state, m = step(state, *batches[0])
     float(m["loss"])
@@ -91,11 +94,12 @@ def main(bs=BS, rounds=4):
     segs["full train_step (custom, acc=1)"] = []
     for _ in range(rounds):
         for name, c in chained.items():
-            acc = jnp.float32(0.0)
+            acc = accs[name]
             t0 = time.perf_counter()
             for b in batches:
                 acc = c(*b, acc)
             float(acc)
+            accs[name] = acc
             segs[name].append((time.perf_counter() - t0) / len(batches))
         # full step: state-threading is the dependency chain
         t0 = time.perf_counter()

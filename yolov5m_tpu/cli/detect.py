@@ -110,6 +110,10 @@ def main(opt):
 
     if getattr(opt, "all", False):
         assert getattr(opt, "img_dir", None), "--all needs --img_dir"
+        if getattr(opt, "int8", False):
+            from yolov5m_tpu.models.quantize import quantize_int8
+            model, variables = _quantize_on_dir(opt, model, variables,
+                                                quantize_int8, jnp)
         _detect_dir(opt, model, variables, anchors_norm, cfg, labels)
         return
 
@@ -169,6 +173,23 @@ def main(opt):
         plot_image(raw.astype(np.float32) / 255.0, rows, labels,
                    save_path=out_path)
         print(f"saved {out_path}")
+
+
+def _quantize_on_dir(opt, model, variables, quantize_int8, jnp):
+    """int8 PTQ for directory mode: calibrate on the first few images."""
+    from yolov5m_tpu.data.native import letterbox, load_image_rgb
+
+    names = sorted(f for f in os.listdir(opt.img_dir)
+                   if f.lower().endswith((".jpg", ".jpeg", ".png")))[:8]
+    imgs = []
+    for name in names:
+        raw = load_image_rgb(os.path.join(opt.img_dir, name))
+        img, _, _ = letterbox(raw, (opt.image_size, opt.image_size))
+        imgs.append(img.astype(np.float32) / 255.0)
+    calib = [jnp.asarray(np.stack(imgs))]
+    model, variables = quantize_int8(model, variables, calib)
+    print(f"==> int8 PTQ (calibrated on {len(imgs)} images)")
+    return model, variables
 
 
 def _detect_dir(opt, model, variables, anchors_norm, cfg, labels):

@@ -141,6 +141,21 @@ def main(opt):
         multi_scale_sizes=ms_sizes, num_workers=opt.nw,
         mosaic_p=getattr(opt, "mosaic", 0.0), hsv=getattr(opt, "hsv", False))
 
+    # run naming + resume epoch resolved BEFORE the optimizer: the restored
+    # schedule count is (last * opt_steps_per_epoch), so a cosine horizon
+    # must span resumed + new epochs or the resumed run sits at the floor
+    ckpt_root = "SAVED_CHECKPOINT"
+    starting_epoch = 1
+    last = None
+    if opt.resume:
+        filename = opt.filename or "model_1"
+        last = latest_epoch(ckpt_root, filename)
+        if last is None:
+            raise SystemExit(f"--resume: no checkpoints under {ckpt_root}/{filename}")
+        starting_epoch = last + 1
+    else:
+        filename = opt.filename or next_run_name(ckpt_root)
+
     accumulate = accumulation_steps(opt.bs, cfg.nominal_batch_size)
     # schedule horizon in OPTIMIZER steps (accumulation-gated)
     opt_steps_per_epoch = max(len(train_loader) // accumulate, 1)
@@ -148,23 +163,30 @@ def main(opt):
         cfg = dataclasses.replace(
             cfg, lr_schedule=opt.lr_schedule,
             warmup_steps=int(opt.warmup_epochs * opt_steps_per_epoch))
-    optimizer = make_optimizer(cfg, total_steps=opt.epochs * opt_steps_per_epoch)
+    total_epochs = (starting_epoch - 1) + opt.epochs
+    optimizer = make_optimizer(cfg,
+                               total_steps=total_epochs * opt_steps_per_epoch)
     state = create_train_state(model, cfg, jax.random.PRNGKey(0),
                                (cfg.image_size, cfg.image_size), optimizer)
-
-    # run naming + resume (reference train.py:76-92)
-    ckpt_root = "SAVED_CHECKPOINT"
-    starting_epoch = 1
     if opt.resume:
-        filename = opt.filename or "model_1"
-        last = latest_epoch(ckpt_root, filename)
-        if last is None:
-            raise SystemExit(f"--resume: no checkpoints under {ckpt_root}/{filename}")
-        state = load_checkpoint(state, ckpt_root, filename, last)
-        starting_epoch = last + 1
+        try:
+            state = load_checkpoint(state, ckpt_root, filename, last)
+        except ValueError:
+            # checkpoint was saved under the constant-lr optimizer but we are
+            # resuming with a schedule: load against a constant-optimizer
+            # template, then graft the schedule count from Adam's step count
+            from yolov5m_tpu.train.trainer import upgrade_opt_state_to_schedule
+            const_opt = make_optimizer(
+                dataclasses.replace(cfg, lr_schedule="constant"))
+            tmpl = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                                      (cfg.image_size, cfg.image_size),
+                                      const_opt)
+            loaded = load_checkpoint(tmpl, ckpt_root, filename, last)
+            state = loaded.replace(
+                opt_state=upgrade_opt_state_to_schedule(loaded.opt_state))
+            print("==> upgraded constant-lr checkpoint to the "
+                  f"{cfg.lr_schedule} schedule")
         print(f"==> resumed {filename} at epoch {last}")
-    else:
-        filename = opt.filename or next_run_name(ckpt_root)
 
     if opt.load_coco_weights:
         sd = dict(np.load(opt.weights))
@@ -300,9 +322,8 @@ def _dump_prediction_images(model, variables, anchors_norm, cfg, val_loader,
         pred_rows.append(det[b][valid[b]])
         gt = batch["labels"][b][batch["mask"][b]]
         if len(gt):
-            cx, cy, bw, bh = (gt[:, 1 + i] for i in range(4))
-            xyxy = _np.stack([w * (cx - bw / 2), h * (cy - bh / 2),
-                              w * (cx + bw / 2), h * (cy + bh / 2)], axis=-1)
+            from yolov5m_tpu.ops.boxes import xywhn_to_xyxy_np
+            xyxy = xywhn_to_xyxy_np(gt[:, 1:5], w=w, h=h)
             gt_rows.append(_np.concatenate(
                 [gt[:, :1], _np.ones((len(gt), 1)), xyxy], axis=1))
         else:

@@ -242,7 +242,15 @@ class BatchLoader:
         small static bucket set (one jit cache entry per size; SURVEY.md §7
         hard part 3). Normalized labels are scale-invariant, so only the
         image resizes. Ignored under rect training, like the reference
-        (training_utils.py:99)."""
+        (training_utils.py:99).
+
+        drop_last: TRAINING loaders must set True — with False, a short final
+        batch is padded with zero images + empty labels, marked only via the
+        batch's image_valid row mask; the Evaluator honors that mask, but a
+        train step has no such input, so the padding would enter the forward
+        pass and pollute BatchNorm statistics and the objectness loss
+        (get_loaders sets drop_last=True for the train loader; a one-time
+        warning fires if a padded batch is yielded with augmentation on)."""
         self.ds = dataset
         self.bs = batch_size
         self.shuffle = shuffle and not dataset.rect
@@ -357,6 +365,15 @@ class BatchLoader:
         mask = np.zeros((self.bs, nb), bool)
         image_valid = np.zeros(self.bs, bool)
         image_valid[:len(idxs)] = True
+        if len(idxs) < self.bs and self.augment is not None \
+                and not getattr(self, "_warned_padding", False):
+            self._warned_padding = True
+            import warnings
+            warnings.warn(
+                "BatchLoader with augmentation yielded a zero-padded short "
+                "batch (drop_last=False): a train step has no image_valid "
+                "input, so the blank padding enters the loss and BN stats — "
+                "use drop_last=True for training loaders", stacklevel=2)
         for k, idx in enumerate(idxs):
             # per-item deterministic rng: thread-safe under prefetch
             item_rng = np.random.default_rng(

@@ -26,6 +26,7 @@ import numpy as np
 
 from yolov5m_tpu.config import Config
 from yolov5m_tpu.eval.metrics import MeanAveragePrecision
+from yolov5m_tpu.ops.boxes import xywhn_to_xyxy_np
 from yolov5m_tpu.ops.postprocess import fused_detect
 from yolov5m_tpu.train.targets import build_grid_targets
 
@@ -126,13 +127,8 @@ class Evaluator:
                 keep = det_valid[b]
                 gt_mask = batch["mask"][b]
                 gt = batch["labels"][b][gt_mask]
-                # host-side numpy conversion: a per-image device dispatch of a
-                # tiny op would serialize eval on remote/tunneled backends
                 if len(gt):
-                    cx, cy, bw, bh = (gt[:, 1 + i] for i in range(4))
-                    gt_xyxy = np.stack([w * (cx - bw / 2), h * (cy - bh / 2),
-                                        w * (cx + bw / 2), h * (cy + bh / 2)],
-                                       axis=-1)
+                    gt_xyxy = xywhn_to_xyxy_np(gt[:, 1:5], w=w, h=h)
                 else:
                     gt_xyxy = np.zeros((0, 4), np.float32)
                 mapm.update(

@@ -152,6 +152,16 @@ def xywhn_to_xyxy(boxes: jnp.ndarray, w: float = 640, h: float = 640,
     ], axis=-1)
 
 
+def xywhn_to_xyxy_np(boxes, w: float = 640, h: float = 640):
+    """Pure-numpy xywhn_to_xyxy for HOST paths (eval loop, plotting): a
+    per-image device dispatch of this tiny op would serialize the loop on
+    remote/tunneled backends. Same math as xywhn_to_xyxy."""
+    import numpy as np
+    cx, cy, bw, bh = (boxes[..., i] for i in range(4))
+    return np.stack([w * (cx - bw / 2), h * (cy - bh / 2),
+                     w * (cx + bw / 2), h * (cy + bh / 2)], axis=-1)
+
+
 def xyxy_to_xywhn(boxes: jnp.ndarray, w: float = 640, h: float = 640) -> jnp.ndarray:
     """Absolute corners → normalized midpoint. Matches reference utils/utils.py:161-170."""
     x1, y1, x2, y2 = (boxes[..., i] for i in range(4))

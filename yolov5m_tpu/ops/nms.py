@@ -103,6 +103,9 @@ def _greedy_suppress_fixpoint(smat: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndar
     return a
 
 
+BACKENDS = ("auto", "xla", "xla_loop", "pallas")
+
+
 def resolve_backend(backend: str, k: int) -> str:
     """Resolve backend="auto" to the fastest backend for this K.
 
@@ -111,8 +114,11 @@ def resolve_backend(backend: str, k: int) -> str:
     per-step matvec rides the MXU and XLA overlaps the suppress-matrix build
     with the surrounding graph. The Pallas kernel (VMEM-resident S) is kept
     for K where HBM re-streaming of S would dominate; measured crossover
-    pending a healthy-chip window (see ROUND2_NOTES.md).
+    pending a healthy-chip window (see ROUND2_NOTES.md) — `k` is the hook for
+    that policy.
     """
+    if backend not in BACKENDS:
+        raise ValueError(f"unknown NMS backend {backend!r}; one of {BACKENDS}")
     if backend != "auto":
         return backend
     return "xla"

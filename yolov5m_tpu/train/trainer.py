@@ -76,6 +76,18 @@ def make_optimizer(cfg: Config,
     )
 
 
+def upgrade_opt_state_to_schedule(opt_state):
+    """Adapt an opt_state saved under the constant-lr optimizer (ScaleState,
+    empty) to the schedule-based optimizer (ScaleByScheduleState(count)):
+    the schedule count is grafted from Adam's step count (index 2 in the
+    make_optimizer chain), so a resumed run continues the schedule from the
+    right position instead of failing to deserialize."""
+    parts = list(opt_state)
+    adam = parts[2]
+    parts[3] = optax.ScaleByScheduleState(count=adam.count)
+    return tuple(parts)
+
+
 def create_train_state(model, cfg: Config, rng, input_hw: Tuple[int, int],
                        optimizer: Optional[optax.GradientTransformation] = None
                        ) -> TrainState:
