@@ -52,3 +52,42 @@ def test_train_state_has_no_aliased_buffers():
             ptr = leaf.unsafe_buffer_pointer()
             assert ptr not in seen, "aliased buffers in TrainState"
             seen.add(ptr)
+
+
+def test_guard_nonfinite_skips_bad_updates():
+    """cfg.guard_nonfinite: a NaN-producing batch must leave params and EMA
+    untouched; a clean batch must still update them."""
+    from yolov5m_tpu.config import ANCHORS
+    from yolov5m_tpu.train import LossConfig, YoloLoss
+    from yolov5m_tpu.train.trainer import make_train_step
+
+    cfg = dataclasses.replace(Config(first_out=8, nc=4, image_size=64),
+                              guard_nonfinite=True)
+    model = YOLOv5(first_out=8, nc=4)
+    loss_fn = YoloLoss(LossConfig(nc=4, image_size=64),
+                       np.asarray(ANCHORS, np.float32))
+    opt = make_optimizer(cfg)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0), (64, 64),
+                               opt)
+    step = jax.jit(make_train_step(model, loss_fn, opt, accumulate=1))
+
+    labels = np.zeros((2, 4, 5), np.float32)
+    labels[:, 0] = [1, 0.5, 0.5, 0.2, 0.3]
+    mask = np.zeros((2, 4), bool)
+    mask[:, 0] = True
+    clean = jnp.ones((2, 64, 64, 3), jnp.float32) * 0.5
+    poison = clean.at[0, 0, 0, 0].set(jnp.nan)
+
+    p0 = jax.tree.map(np.asarray, state.params)
+    state, metrics = step(state, poison, jnp.asarray(labels),
+                          jnp.asarray(mask))
+    p1 = jax.tree.map(np.asarray, state.params)
+    for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p1)):
+        np.testing.assert_array_equal(a, b)   # update skipped
+
+    state, metrics = step(state, clean, jnp.asarray(labels),
+                          jnp.asarray(mask))
+    p2 = jax.tree.leaves(jax.tree.map(np.asarray, state.params))
+    changed = any(not np.array_equal(a, b)
+                  for a, b in zip(jax.tree.leaves(p1), p2))
+    assert changed, "clean batch failed to update params"

@@ -69,6 +69,9 @@ def arg_parser():
                         "(production recipe)")
     p.add_argument("--warmup_epochs", type=float, default=0.0,
                    help="linear lr warmup span in epochs (cosine schedule)")
+    p.add_argument("--guard_nonfinite", action="store_true",
+                   help="skip optimizer updates whose gradients are "
+                        "NaN/inf instead of poisoning the params")
     p.add_argument("--coco_dump", type=str, default=None,
                    help="directory for COCO-format eval dumps "
                         "(annotations.json + results.json) so the metrics "
@@ -125,7 +128,8 @@ def main(opt):
     cfg = Config(first_out=first_out, nc=nc, image_size=opt.image_size,
                  epochs=opt.epochs, batch_size=opt.bs,
                  max_boxes_per_image=opt.max_boxes,
-                 iou_type=getattr(opt, "iou_type", "giou"))
+                 iou_type=getattr(opt, "iou_type", "giou"),
+                 guard_nonfinite=getattr(opt, "guard_nonfinite", False))
 
     model = YOLOv5(first_out=cfg.first_out, nc=cfg.nc, dtype=jnp.bfloat16,
                    depth_mult=fam_dm)

@@ -85,6 +85,7 @@ class Config:
     lr_schedule: str = "constant"        # constant | cosine
     warmup_steps: int = 0                # linear 0→lr over N optimizer steps
     lr_final: float = 0.01               # cosine floor as a fraction of lr
+    guard_nonfinite: bool = False        # skip updates with non-finite grads
 
     @property
     def num_scales(self) -> int:

@@ -67,13 +67,23 @@ def make_lr_schedule(cfg: Config, total_steps: Optional[int] = None):
 def make_optimizer(cfg: Config,
                    total_steps: Optional[int] = None
                    ) -> optax.GradientTransformation:
-    """clip(10.0) → +wd·θ (torch Adam coupled L2) → Adam → -lr(schedule)."""
-    return optax.chain(
+    """clip(10.0) → +wd·θ (torch Adam coupled L2) → Adam → -lr(schedule).
+
+    cfg.guard_nonfinite wraps the chain in optax.apply_if_finite: a step
+    whose gradients contain NaN/inf leaves params and optimizer state
+    untouched instead of poisoning them (production guard for long bf16
+    runs; off by default — the wrapper changes the opt_state structure, so
+    checkpoints are not interchangeable across the flag).
+    """
+    tx = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
         optax.add_decayed_weights(cfg.weight_decay),
         optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
         optax.scale_by_learning_rate(make_lr_schedule(cfg, total_steps)),
     )
+    if cfg.guard_nonfinite:
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
+    return tx
 
 
 def upgrade_opt_state_to_schedule(opt_state):
