@@ -69,6 +69,9 @@ def arg_parser():
                         "(production recipe)")
     p.add_argument("--warmup_epochs", type=float, default=0.0,
                    help="linear lr warmup span in epochs (cosine schedule)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize C3 stacks in the backward pass "
+                        "(trade FLOPs for HBM; enables l/x at 640 batches)")
     p.add_argument("--guard_nonfinite", action="store_true",
                    help="skip optimizer updates whose gradients are "
                         "NaN/inf instead of poisoning the params")
@@ -132,7 +135,7 @@ def main(opt):
                  guard_nonfinite=getattr(opt, "guard_nonfinite", False))
 
     model = YOLOv5(first_out=cfg.first_out, nc=cfg.nc, dtype=jnp.bfloat16,
-                   depth_mult=fam_dm)
+                   depth_mult=fam_dm, remat=getattr(opt, "remat", False))
     anchors_norm = normalized_anchors()
     anchors_px = np.asarray(ANCHORS, np.float32)
 

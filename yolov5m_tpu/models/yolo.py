@@ -84,10 +84,17 @@ class YOLOv5(nn.Module):
     depth_mult: float = 0.67        # C3 stack scaling (YOLOv5 family law)
     quant: bool = False             # int8 PTQ inference (models/quantize.py)
     calibrate: bool = False         # sow per-CBL input absmax for calibration
+    remat: bool = False             # rematerialize C3 stacks under grad
 
     def setup(self):
         fo, dt, ax = self.first_out, self.dtype, self.bn_axis
         fu = (self.fused, self.quant, self.calibrate)
+        # remat: wrap the C3 stacks (the activation-heaviest blocks) in
+        # jax.checkpoint so their internals recompute in the backward pass
+        # instead of living in HBM across it — the standard TPU trade of
+        # FLOPs for memory that lets l/x-width models train at 640² batches
+        # that would otherwise exceed HBM. Parameter structure is unchanged.
+        C3_ = (nn.remat(C3, static_argnums=(2,)) if self.remat else C3)
         d3 = _scaled_depth(3, self.depth_mult)   # m: 2
         d6 = _scaled_depth(6, self.depth_mult)   # m: 4
         d9 = _scaled_depth(9, self.depth_mult)   # m: 6
@@ -98,25 +105,25 @@ class YOLOv5(nn.Module):
         self.backbone = [
             stem,
             CBL(fo * 2, 3, 2, 1, dt, ax, *fu),
-            C3(fo * 2, 0.5, d3, True, dt, ax, *fu),
+            C3_(fo * 2, 0.5, d3, True, dt, ax, *fu),
             CBL(fo * 4, 3, 2, 1, dt, ax, *fu),
-            C3(fo * 4, 0.5, d6, True, dt, ax, *fu),
+            C3_(fo * 4, 0.5, d6, True, dt, ax, *fu),
             CBL(fo * 8, 3, 2, 1, dt, ax, *fu),
-            C3(fo * 8, 0.5, d9, True, dt, ax, *fu),
+            C3_(fo * 8, 0.5, d9, True, dt, ax, *fu),
             CBL(fo * 16, 3, 2, 1, dt, ax, *fu),
-            C3(fo * 16, 0.5, d3, True, dt, ax, *fu),
+            C3_(fo * 16, 0.5, d3, True, dt, ax, *fu),
             SPPF(fo * 16, dt, ax, *fu),
         ]
         # Neck: FPN-up + PAN-down — reference model.py:197-207, 221-237.
         self.neck = [
             CBL(fo * 8, 1, 1, 0, dt, ax, *fu),
-            C3(fo * 8, 0.25, d3, False, dt, ax, *fu),
+            C3_(fo * 8, 0.25, d3, False, dt, ax, *fu),
             CBL(fo * 4, 1, 1, 0, dt, ax, *fu),
-            C3(fo * 4, 0.25, d3, False, dt, ax, *fu),
+            C3_(fo * 4, 0.25, d3, False, dt, ax, *fu),
             CBL(fo * 4, 3, 2, 1, dt, ax, *fu),
-            C3(fo * 8, 0.5, d3, False, dt, ax, *fu),
+            C3_(fo * 8, 0.5, d3, False, dt, ax, *fu),
             CBL(fo * 8, 3, 2, 1, dt, ax, *fu),
-            C3(fo * 16, 0.5, d3, False, dt, ax, *fu),
+            C3_(fo * 16, 0.5, d3, False, dt, ax, *fu),
         ]
         self.head = Head(nc=self.nc, dtype=dt)
 
