@@ -138,3 +138,49 @@ def test_loss_jits(rng):
     a = float(jitted(preds, jnp.asarray(labels), jnp.asarray(mask)))
     b = float(loss_fn(preds, jnp.asarray(labels), jnp.asarray(mask))[0])
     np.testing.assert_allclose(a, b, rtol=1e-5)
+
+
+def test_focal_bce_semantics():
+    from yolov5m_tpu.train.loss import bce_logits, focal_bce_logits
+
+    logits = jnp.asarray([-6.0, -1.0, 0.0, 1.0, 6.0])
+    labels = jnp.asarray([0.0, 0.0, 1.0, 1.0, 1.0])
+    plain = np.asarray(bce_logits(logits, labels))
+    focal0 = np.asarray(focal_bce_logits(logits, labels, gamma=0.0))
+    # gamma=0 reduces to alpha-weighted BCE (alpha 0.25 pos / 0.75 neg)
+    alpha_t = np.where(np.asarray(labels) == 1.0, 0.25, 0.75)
+    np.testing.assert_allclose(focal0, plain * alpha_t, rtol=1e-6)
+    # well-classified examples are down-weighted much harder than marginal
+    focal2 = np.asarray(focal_bce_logits(logits, labels, gamma=2.0))
+    ratio = focal2 / np.maximum(focal0, 1e-12)
+    assert ratio[0] < 1e-4 and ratio[4] < 1e-4   # confident correct
+    assert ratio[2] > 0.2                        # p=0.5: mild down-weight
+
+
+def test_label_smoothing_changes_cls_targets_only():
+    """ls>0 must change the cls term; box/obj terms stay identical; ls=0
+    reproduces the default loss bit-for-bit."""
+    from yolov5m_tpu.train.loss import LossConfig, YoloLoss
+
+    rng = np.random.default_rng(11)
+    bs, nb, nc, hw = 2, 6, 4, 64
+    preds = [jnp.asarray(rng.normal(0, 1, (bs, 3, hw // s, hw // s, 5 + nc))
+                         .astype(np.float32)) for s in (8, 16, 32)]
+    labels = np.zeros((bs, nb, 5), np.float32)
+    labels[:, 0] = [1, 0.5, 0.5, 0.2, 0.3]
+    labels[:, 1] = [3, 0.25, 0.7, 0.15, 0.2]
+    mask = np.zeros((bs, nb), bool)
+    mask[:, :2] = True
+    anchors = np.asarray(ANCHORS, np.float32)
+
+    base = YoloLoss(LossConfig(nc=nc, image_size=hw),
+                    anchors)(preds, jnp.asarray(labels), jnp.asarray(mask))
+    zero = YoloLoss(LossConfig(nc=nc, image_size=hw, label_smoothing=0.0),
+                    anchors)(preds, jnp.asarray(labels), jnp.asarray(mask))
+    smooth = YoloLoss(LossConfig(nc=nc, image_size=hw, label_smoothing=0.1),
+                      anchors)(preds, jnp.asarray(labels), jnp.asarray(mask))
+
+    assert float(base[0]) == float(zero[0])
+    assert float(smooth[1]["box"]) == float(base[1]["box"])
+    assert float(smooth[1]["obj"]) == float(base[1]["obj"])
+    assert float(smooth[1]["cls"]) != float(base[1]["cls"])

@@ -69,6 +69,11 @@ def arg_parser():
                         "(production recipe)")
     p.add_argument("--warmup_epochs", type=float, default=0.0,
                    help="linear lr warmup span in epochs (cosine schedule)")
+    p.add_argument("--label_smoothing", type=float, default=0.0,
+                   help="cls BCE label smoothing epsilon (Ultralytics "
+                        "smooth_BCE; reference has none)")
+    p.add_argument("--focal_gamma", type=float, default=0.0,
+                   help="focal-loss gamma for cls/obj BCE (0 = plain BCE)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize C3 stacks in the backward pass "
                         "(trade FLOPs for HBM; enables l/x at 640 batches)")
@@ -132,7 +137,9 @@ def main(opt):
                  epochs=opt.epochs, batch_size=opt.bs,
                  max_boxes_per_image=opt.max_boxes,
                  iou_type=getattr(opt, "iou_type", "giou"),
-                 guard_nonfinite=getattr(opt, "guard_nonfinite", False))
+                 guard_nonfinite=getattr(opt, "guard_nonfinite", False),
+                 label_smoothing=getattr(opt, "label_smoothing", 0.0),
+                 focal_gamma=getattr(opt, "focal_gamma", 0.0))
 
     model = YOLOv5(first_out=cfg.first_out, nc=cfg.nc, dtype=jnp.bfloat16,
                    depth_mult=fam_dm, remat=getattr(opt, "remat", False))

@@ -61,6 +61,8 @@ class Config:
     anchor_t: float = 4.0                # ultralytics_loss.py:35
     ignore_iou_thresh: float = 0.5       # loss.py:45
     iou_type: str = "giou"               # giou (reference) | ciou | diou | iou
+    label_smoothing: float = 0.0         # Ultralytics-recipe extra (off)
+    focal_gamma: float = 0.0             # focal cls/obj BCE (off)
 
     # Postprocess / eval thresholds (reference config.py:26-29)
     conf_threshold: float = 0.01

@@ -47,6 +47,17 @@ class LossConfig:
     anchor_t: float = 4.0
     ignore_iou_thresh: float = 0.5
     iou_type: str = "giou"   # giou (reference) | ciou | diou | iou
+    # Ultralytics-recipe extras (reference uses neither):
+    label_smoothing: float = 0.0   # cls BCE targets become 1-e/2 and e/2
+    focal_gamma: float = 0.0       # focal modulation of cls/obj BCE (0 = off)
+
+    @property
+    def cls_pos(self) -> float:
+        return 1.0 - 0.5 * self.label_smoothing
+
+    @property
+    def cls_neg(self) -> float:
+        return 0.5 * self.label_smoothing
 
     @property
     def lambda_class(self) -> float:
@@ -65,12 +76,26 @@ class LossConfig:
         return cls(nc=cfg.nc, image_size=cfg.image_size,
                    anchor_t=cfg.anchor_t,
                    ignore_iou_thresh=cfg.ignore_iou_thresh,
-                   iou_type=cfg.iou_type)
+                   iou_type=cfg.iou_type,
+                   label_smoothing=cfg.label_smoothing,
+                   focal_gamma=cfg.focal_gamma)
 
 
 def bce_logits(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     """Elementwise binary cross entropy with logits (numerically stable)."""
     return jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+def focal_bce_logits(logits: jnp.ndarray, labels: jnp.ndarray,
+                     gamma: float, alpha: float = 0.25) -> jnp.ndarray:
+    """Focal loss on BCE-with-logits (Ultralytics FocalLoss semantics:
+    modulating factor (1-p_t)^gamma and alpha balancing applied to the
+    elementwise BCE). gamma=0 reduces to alpha-weighted BCE."""
+    bce = bce_logits(logits, labels)
+    p = jax.nn.sigmoid(logits)
+    p_t = labels * p + (1.0 - labels) * (1.0 - p)
+    alpha_t = labels * alpha + (1.0 - labels) * (1.0 - alpha)
+    return bce * alpha_t * (1.0 - p_t) ** gamma
 
 
 def _masked_mean(x: jnp.ndarray, mask: jnp.ndarray,
@@ -117,6 +142,21 @@ class YoloLoss:
     def with_axis(self, axis_name: Optional[str]) -> "YoloLoss":
         return YoloLoss(self.lc, self.anchors_px, self.kind, self.strides,
                         axis_name)
+
+    def _bce(self, logits, labels):
+        """cls/obj BCE, optionally focal (LossConfig.focal_gamma)."""
+        if self.lc.focal_gamma > 0:
+            return focal_bce_logits(logits, labels, self.lc.focal_gamma)
+        return bce_logits(logits, labels)
+
+    def _smooth_one_hot(self, cls_idx):
+        """One-hot cls targets with optional label smoothing
+        (positives 1-e/2, negatives e/2 — Ultralytics smooth_BCE)."""
+        lc = self.lc
+        oh = jax.nn.one_hot(cls_idx, lc.nc)
+        if lc.label_smoothing > 0:
+            oh = oh * (lc.cls_pos - lc.cls_neg) + lc.cls_neg
+        return oh
 
     def _box_iou(self, pbox, tbox):
         t = self.lc.iou_type
@@ -168,11 +208,11 @@ class YoloLoss:
             tobj = jnp.zeros(p.shape[:4], jnp.float32)
             tobj = tobj.at[m["b"], m["a"], m["gj"], m["gi"]].max(
                 jnp.where(valid, iou_d, 0.0))
-            obj_bce = bce_logits(p[..., 4].astype(jnp.float32), tobj)
+            obj_bce = self._bce(p[..., 4].astype(jnp.float32), tobj)
             lobj = lobj + _masked_mean(obj_bce, ~m["ign"], ax) * BALANCE[s]
 
-            tcls = jax.nn.one_hot(m["tcls"], lc.nc)
-            cls_bce = bce_logits(rows[..., 5:], tcls)          # (bs*nb, nc)
+            tcls = self._smooth_one_hot(m["tcls"])
+            cls_bce = self._bce(rows[..., 5:], tcls)           # (bs*nb, nc)
             lcls = lcls + _masked_mean(
                 cls_bce, valid[:, None] & jnp.ones_like(cls_bce, jnp.bool_), ax)
 
@@ -212,11 +252,11 @@ class YoloLoss:
             tobj = tobj.at[m["b"], m["a"], m["gj"], m["gi"]].max(
                 jnp.where(valid, iou_d, 0.0))
             lobj = lobj + _global_mean(
-                bce_logits(p[..., 4].astype(jnp.float32), tobj), ax) * BALANCE[s]
+                self._bce(p[..., 4].astype(jnp.float32), tobj), ax) * BALANCE[s]
 
             if lc.nc > 1:
-                tcls = jax.nn.one_hot(m["tcls"], lc.nc)
-                cls_bce = bce_logits(rows[..., 5:], tcls)
+                tcls = self._smooth_one_hot(m["tcls"])
+                cls_bce = self._bce(rows[..., 5:], tcls)
                 lcls = lcls + _masked_mean(
                     cls_bce, valid[:, None] & jnp.ones_like(cls_bce, jnp.bool_),
                     ax)
