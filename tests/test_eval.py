@@ -445,3 +445,92 @@ def test_pycocotools_parity_if_available(rng):
     ours = _full_compute(images, max_det=100)
     np.testing.assert_allclose(ours["map"], ev.stats[0], atol=5e-3)
     np.testing.assert_allclose(ours["map_50"], ev.stats[1], atol=5e-3)
+
+
+# ---------------- COCO area-range metrics (small/medium/large) ----------------
+
+def _sq_box(cx, cy, side):
+    return [cx - side / 2, cy - side / 2, cx + side / 2, cy + side / 2]
+
+
+def test_area_range_metrics_partition():
+    """A perfectly-detected small box and large box: each range AP counts
+    only its own pair; 'all' counts both."""
+    m = MeanAveragePrecision()
+    small = _sq_box(50, 50, 20)       # area 400 < 32^2
+    large = _sq_box(300, 300, 200)    # area 40000 > 96^2
+    m.update(preds=dict(boxes=np.array([small, large], np.float32),
+                        scores=np.array([0.9, 0.8], np.float32),
+                        labels=np.array([0, 0])),
+             targets=dict(boxes=np.array([small, large], np.float32),
+                          labels=np.array([0, 0])))
+    r = m.compute()
+    assert r["map_50"] == 1.0
+    assert r["map_small"] == 1.0
+    assert r["map_large"] == 1.0
+    assert r["map_medium"] == -1.0          # no medium GT anywhere
+
+
+def test_out_of_range_detection_is_ignored_not_fp():
+    """A large unmatched detection must not hurt map_small (ignored for the
+    small range), while it does hurt the 'all'/'large' ranges."""
+    m = MeanAveragePrecision()
+    small = _sq_box(50, 50, 20)
+    m.update(preds=dict(
+        boxes=np.array([small, _sq_box(400, 400, 150)], np.float32),
+        scores=np.array([0.8, 0.9], np.float32),    # FP scores HIGHER
+        labels=np.array([0, 0])),
+        targets=dict(boxes=np.array([small], np.float32),
+                     labels=np.array([0])))
+    r = m.compute()
+    assert r["map_small"] == 1.0            # FP ignored in small range
+    assert r["map_50"] < 1.0                # but counted in 'all'
+
+
+def test_detection_matching_ignored_gt_is_ignored():
+    """For the small range, a detection matched to a LARGE (ignored) GT is
+    itself ignored — neither TP nor FP — so small-range AP stays perfect."""
+    m = MeanAveragePrecision()
+    small = _sq_box(50, 50, 20)
+    large = _sq_box(300, 300, 200)
+    m.update(preds=dict(
+        boxes=np.array([large, small], np.float32),
+        scores=np.array([0.95, 0.9], np.float32),
+        labels=np.array([0, 0])),
+        targets=dict(boxes=np.array([small, large], np.float32),
+                     labels=np.array([0, 0])))
+    r = m.compute()
+    assert r["map_small"] == 1.0
+    assert r["map_large"] == 1.0
+    assert r["map_50"] == 1.0
+
+
+def test_pycocotools_area_parity_if_available(rng):
+    __import__('pytest').importorskip("pycocotools.coco")
+    from pycocotools.coco import COCO
+    from pycocotools.cocoeval import COCOeval
+    from yolov5m_tpu.eval.coco_dump import CocoDump
+
+    m = MeanAveragePrecision(max_det=100)
+    dump = CocoDump()
+    for i in range(8):
+        n = int(rng.integers(2, 6))
+        sides = rng.uniform(10, 250, n)
+        cx = rng.uniform(150, 450, n)
+        cy = rng.uniform(150, 450, n)
+        gt = np.stack([cx - sides / 2, cy - sides / 2,
+                       cx + sides / 2, cy + sides / 2], axis=1).astype(np.float32)
+        gl = rng.integers(0, 3, n)
+        pred = gt + rng.normal(0, 5, gt.shape).astype(np.float32)
+        sc = rng.uniform(0.2, 1.0, n).astype(np.float32)
+        m.update(preds=dict(boxes=pred, scores=sc, labels=gl),
+                 targets=dict(boxes=gt, labels=gl))
+        dump.add_image(i, 640, 640, pred, sc, gl, gt, gl)
+    paths = dump.write("/tmp/area_parity")
+    coco = COCO(paths["annotations"])
+    ev = COCOeval(coco, coco.loadRes(paths["results"]), "bbox")
+    ev.evaluate(); ev.accumulate(); ev.summarize()
+    ours = m.compute()
+    assert abs(ev.stats[3] - ours["map_small"]) < 0.02
+    assert abs(ev.stats[4] - ours["map_medium"]) < 0.02
+    assert abs(ev.stats[5] - ours["map_large"]) < 0.02

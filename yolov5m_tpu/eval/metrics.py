@@ -22,6 +22,17 @@ import numpy as np
 IOU_THRESHOLDS = np.round(np.arange(0.5, 1.0, 0.05), 2)  # 0.50 … 0.95
 RECALL_POINTS = np.linspace(0.0, 1.0, 101)
 
+# COCOeval areaRng (pixels²). GT/detections outside a range are IGNORED for
+# that range (not counted as FN/FP), per pycocotools semantics. Areas are
+# box areas (w*h) — COCO proper uses segmentation area; for box-only eval
+# torchmetrics does the same thing.
+AREA_RANGES = (
+    ("all", 0.0, 1e10),
+    ("small", 0.0, 32.0 ** 2),
+    ("medium", 32.0 ** 2, 96.0 ** 2),
+    ("large", 96.0 ** 2, 1e10),
+)
+
 
 def _iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """(N,4) xyxy vs (M,4) xyxy → (N,M)."""
@@ -55,8 +66,10 @@ class MeanAveragePrecision:
         self.iou_thresholds = np.asarray(
             iou_thresholds if iou_thresholds is not None else IOU_THRESHOLDS)
         self.max_det = max_det
-        self._records: List[tuple] = []   # (scores, tp_matrix, pred_cls)
-        self._gt_counts: Dict[int, int] = {}
+        # (scores, tp (nd,nt,nr), ig (nd,nt,nr), pred_cls)
+        self._records: List[tuple] = []
+        # non-ignored GT count per (class, range index)
+        self._gt_counts: Dict[tuple, int] = {}
 
     def update(self, preds: dict, targets: dict) -> None:
         boxes = np.asarray(preds["boxes"], np.float32).reshape(-1, 4)
@@ -65,14 +78,28 @@ class MeanAveragePrecision:
         gt_boxes = np.asarray(targets["boxes"], np.float32).reshape(-1, 4)
         gt_labels = np.asarray(targets["labels"]).reshape(-1).astype(int)
 
-        for c in gt_labels:
-            self._gt_counts[c] = self._gt_counts.get(c, 0) + 1
+        gt_area = ((gt_boxes[:, 2] - gt_boxes[:, 0])
+                   * (gt_boxes[:, 3] - gt_boxes[:, 1]))
+        det_area = ((boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1]))
+        nr = len(AREA_RANGES)
+        # per-range GT ignore: outside the area range (COCOeval _ignore)
+        gt_ig = np.stack([(gt_area < lo) | (gt_area > hi)
+                          for _, lo, hi in AREA_RANGES], axis=1)  # (m, nr)
+        det_out = np.stack([(det_area < lo) | (det_area > hi)
+                            for _, lo, hi in AREA_RANGES], axis=1)  # (n, nr)
+
+        for gi, c in enumerate(gt_labels):
+            for r in range(nr):
+                if not gt_ig[gi, r]:
+                    key = (int(c), r)
+                    self._gt_counts[key] = self._gt_counts.get(key, 0) + 1
 
         if len(boxes) == 0:
             return
 
         order = np.argsort(-scores, kind="stable")
         boxes, scores, labels = boxes[order], scores[order], labels[order]
+        det_out = det_out[order]
         if self.max_det is not None:
             # per (image, category), like COCOeval under useCats=1 — a
             # global top-k would let a dense class evict another class's
@@ -82,78 +109,112 @@ class MeanAveragePrecision:
                 idx = np.nonzero(labels == c)[0]
                 keep[idx[self.max_det:]] = False
             boxes, scores, labels = boxes[keep], scores[keep], labels[keep]
+            det_out = det_out[keep]
 
         nt = len(self.iou_thresholds)
         thr = self.iou_thresholds[:, None]                  # (nt, 1)
-        tp = np.zeros((len(boxes), nt), bool)
+        tp = np.zeros((len(boxes), nt, nr), bool)
+        ig = np.zeros((len(boxes), nt, nr), bool)
         for c in np.unique(labels):
             det_idx = np.nonzero(labels == c)[0]
             gt_idx = np.nonzero(gt_labels == c)[0]
             if len(gt_idx) == 0:
+                # unmatched detections outside the range are ignored, not FP
+                ig[det_idx] = det_out[det_idx][:, None, :]
                 continue
             iou = _iou_matrix(boxes[det_idx], gt_boxes[gt_idx])
             # greedy matching, all IoU thresholds in lockstep: the detection
             # loop is inherently sequential (GT availability depends on
             # earlier matches), but each threshold matches independently —
             # one (nt, n_gt) taken-mask pass per detection instead of a
-            # python loop per (detection, threshold)
-            taken = np.zeros((nt, len(gt_idx)), bool)
-            for di in range(len(det_idx)):
-                cand = ~taken & (iou[di][None, :] >= thr)   # (nt, n_gt)
-                has = cand.any(axis=1)
-                best = np.argmax(np.where(cand, iou[di][None, :], -1.0), axis=1)
-                taken[has, best[has]] = True
-                tp[det_idx[di]] = has
-        self._records.append((scores, tp, labels))
+            # python loop per (detection, threshold). Ranges differ only in
+            # the GT ignore mask; COCOeval rule: prefer the best non-ignored
+            # candidate; fall back to the best ignored one (the detection is
+            # then itself ignored); unmatched out-of-range detections are
+            # ignored too.
+            for r in range(nr):
+                g_ig = gt_ig[gt_idx, r][None, :]            # (1, n_gt)
+                taken = np.zeros((nt, len(gt_idx)), bool)
+                for di in range(len(det_idx)):
+                    cand = ~taken & (iou[di][None, :] >= thr)  # (nt, n_gt)
+                    cand_ok = cand & ~g_ig
+                    has_ok = cand_ok.any(axis=1)
+                    best_ok = np.argmax(
+                        np.where(cand_ok, iou[di][None, :], -1.0), axis=1)
+                    cand_ig = cand & g_ig
+                    has_igm = cand_ig.any(axis=1) & ~has_ok
+                    best_igm = np.argmax(
+                        np.where(cand_ig, iou[di][None, :], -1.0), axis=1)
+                    matched = has_ok | has_igm
+                    best = np.where(has_ok, best_ok, best_igm)
+                    taken[matched, best[matched]] = True
+                    tp[det_idx[di], :, r] = has_ok
+                    ig[det_idx[di], :, r] = has_igm | (
+                        ~matched & det_out[det_idx[di], r])
+        self._records.append((scores, tp, ig, labels))
 
     def compute(self) -> Dict[str, float]:
         if not self._records:
             return {"map": -1.0, "map_50": -1.0, "map_75": -1.0}
         scores = np.concatenate([r[0] for r in self._records])
-        tp = np.concatenate([r[1] for r in self._records])
-        labels = np.concatenate([r[2] for r in self._records])
+        tp = np.concatenate([r[1] for r in self._records])    # (nd, nt, nr)
+        ig = np.concatenate([r[2] for r in self._records])
+        labels = np.concatenate([r[3] for r in self._records])
 
         order = np.argsort(-scores, kind="stable")
-        tp, labels = tp[order], labels[order]
+        tp, ig, labels = tp[order], ig[order], labels[order]
 
-        classes = sorted(self._gt_counts)
+        classes = sorted({c for (c, r) in self._gt_counts})
         nt = len(self.iou_thresholds)
-        ap = np.full((len(classes), nt), np.nan)
+        nr = len(AREA_RANGES)
+        ap = np.full((nr, len(classes), nt), np.nan)
 
         for ci, c in enumerate(classes):
-            n_gt = self._gt_counts[c]
             sel = labels == c
-            if n_gt == 0:
-                continue
-            if not sel.any():
-                ap[ci] = 0.0
-                continue
-            tpc = tp[sel].astype(np.float64)            # (nd, nt)
-            cum_tp = np.cumsum(tpc, axis=0)
-            cum_fp = np.cumsum(1 - tpc, axis=0)
-            recall = cum_tp / n_gt
-            precision = cum_tp / np.maximum(cum_tp + cum_fp, 1e-9)
-            for ti in range(nt):
-                # monotone-decreasing precision envelope + 101-pt integration
-                p = precision[:, ti]
-                r = recall[:, ti]
-                p_env = np.maximum.accumulate(p[::-1])[::-1]
-                interp = np.zeros_like(RECALL_POINTS)
-                idx = np.searchsorted(r, RECALL_POINTS, side="left")
-                valid = idx < len(p_env)
-                interp[valid] = p_env[idx[valid]]
-                ap[ci, ti] = interp.mean()
+            for r in range(nr):
+                n_gt = self._gt_counts.get((c, r), 0)
+                if n_gt == 0:
+                    continue                                 # nan: no GT here
+                if not sel.any():
+                    ap[r, ci] = 0.0
+                    continue
+                tpc = tp[sel, :, r].astype(np.float64)       # (nd, nt)
+                igc = ig[sel, :, r]
+                # ignored detections contribute to neither TP nor FP
+                cum_tp = np.cumsum(np.where(igc, 0.0, tpc), axis=0)
+                cum_fp = np.cumsum(np.where(igc | tpc.astype(bool), 0.0, 1.0),
+                                   axis=0)
+                recall = cum_tp / n_gt
+                precision = cum_tp / np.maximum(cum_tp + cum_fp, 1e-9)
+                for ti in range(nt):
+                    # monotone precision envelope + 101-pt integration
+                    p = precision[:, ti]
+                    rr = recall[:, ti]
+                    p_env = np.maximum.accumulate(p[::-1])[::-1]
+                    interp = np.zeros_like(RECALL_POINTS)
+                    idx = np.searchsorted(rr, RECALL_POINTS, side="left")
+                    valid = idx < len(p_env)
+                    interp[valid] = p_env[idx[valid]]
+                    ap[r, ci, ti] = interp.mean()
 
-        mean_ap = np.nanmean(ap, axis=0)                 # (nt,)
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", category=RuntimeWarning)
+            mean_ap = np.nanmean(ap, axis=1)                 # (nr, nt)
         t50 = int(np.argmin(np.abs(self.iou_thresholds - 0.5)))
         t75 = int(np.argmin(np.abs(self.iou_thresholds - 0.75)))
-        return {
-            "map": float(np.nanmean(mean_ap)),
-            "map_50": float(mean_ap[t50]),
-            "map_75": float(mean_ap[t75]),
-            "ap_per_class": {int(c): float(np.nanmean(ap[ci]))
+        out = {
+            "map": float(np.nanmean(mean_ap[0])),
+            "map_50": float(mean_ap[0, t50]),
+            "map_75": float(mean_ap[0, t75]),
+            "ap_per_class": {int(c): float(np.nanmean(ap[0, ci]))
                              for ci, c in enumerate(classes)},
         }
+        for r, (name, _, _) in enumerate(AREA_RANGES):
+            if name != "all":
+                out[f"map_{name}"] = float(np.nanmean(mean_ap[r])) \
+                    if not np.all(np.isnan(mean_ap[r])) else -1.0
+        return out
 
     def reset(self) -> None:
         self._records.clear()
