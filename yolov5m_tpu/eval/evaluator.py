@@ -154,5 +154,8 @@ class Evaluator:
             "map50": m["map_50"],
             "map75": m["map_75"],
             "map": m["map"],
+            "map_small": m.get("map_small", -1.0),
+            "map_medium": m.get("map_medium", -1.0),
+            "map_large": m.get("map_large", -1.0),
             "ap_per_class": m.get("ap_per_class", {}),
         }
