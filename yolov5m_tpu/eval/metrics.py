@@ -123,34 +123,37 @@ class MeanAveragePrecision:
                 ig[det_idx] = det_out[det_idx][:, None, :]
                 continue
             iou = _iou_matrix(boxes[det_idx], gt_boxes[gt_idx])
-            # greedy matching, all IoU thresholds in lockstep: the detection
-            # loop is inherently sequential (GT availability depends on
-            # earlier matches), but each threshold matches independently —
-            # one (nt, n_gt) taken-mask pass per detection instead of a
-            # python loop per (detection, threshold). Ranges differ only in
-            # the GT ignore mask; COCOeval rule: prefer the best non-ignored
-            # candidate; fall back to the best ignored one (the detection is
-            # then itself ignored); unmatched out-of-range detections are
-            # ignored too.
-            for r in range(nr):
-                g_ig = gt_ig[gt_idx, r][None, :]            # (1, n_gt)
-                taken = np.zeros((nt, len(gt_idx)), bool)
-                for di in range(len(det_idx)):
-                    cand = ~taken & (iou[di][None, :] >= thr)  # (nt, n_gt)
-                    cand_ok = cand & ~g_ig
-                    has_ok = cand_ok.any(axis=1)
-                    best_ok = np.argmax(
-                        np.where(cand_ok, iou[di][None, :], -1.0), axis=1)
-                    cand_ig = cand & g_ig
-                    has_igm = cand_ig.any(axis=1) & ~has_ok
-                    best_igm = np.argmax(
-                        np.where(cand_ig, iou[di][None, :], -1.0), axis=1)
-                    matched = has_ok | has_igm
-                    best = np.where(has_ok, best_ok, best_igm)
-                    taken[matched, best[matched]] = True
-                    tp[det_idx[di], :, r] = has_ok
-                    ig[det_idx[di], :, r] = has_igm | (
-                        ~matched & det_out[det_idx[di], r])
+            # greedy matching, all IoU thresholds AND area ranges in
+            # lockstep: the detection loop is inherently sequential (GT
+            # availability depends on earlier matches), but each (threshold,
+            # range) cell matches independently — one (nr, nt, n_gt) mask
+            # pass per detection. COCOeval rule per range: prefer the best
+            # non-ignored candidate; fall back to the best ignored one (the
+            # detection is then itself ignored); unmatched out-of-range
+            # detections are ignored too.
+            ng = len(gt_idx)
+            g_ig = gt_ig[gt_idx].T[:, None, :]              # (nr, 1, ng)
+            thr3 = self.iou_thresholds[None, :, None]       # (1, nt, 1)
+            taken = np.zeros((nr, nt, ng), bool)
+            for di in range(len(det_idx)):
+                iou_row = iou[di][None, None, :]            # (1, 1, ng)
+                cand = ~taken & (iou_row >= thr3)           # (nr, nt, ng)
+                cand_ok = cand & ~g_ig
+                has_ok = cand_ok.any(axis=-1)               # (nr, nt)
+                best_ok = np.argmax(
+                    np.where(cand_ok, iou_row, -1.0), axis=-1)
+                cand_igm = cand & g_ig
+                has_igm = cand_igm.any(axis=-1) & ~has_ok
+                best_igm = np.argmax(
+                    np.where(cand_igm, iou_row, -1.0), axis=-1)
+                matched = has_ok | has_igm
+                best = np.where(has_ok, best_ok, best_igm)
+                ri, ti = np.nonzero(matched)
+                taken[ri, ti, best[ri, ti]] = True
+                tp[det_idx[di]] = has_ok.T                  # (nt, nr)
+                ig[det_idx[di]] = (has_igm
+                                   | (~matched
+                                      & det_out[det_idx[di]][:, None])).T
         self._records.append((scores, tp, ig, labels))
 
     def compute(self) -> Dict[str, float]:
