@@ -50,6 +50,9 @@ def arg_parser():
                         "inference), not one random image")
     p.add_argument("--bs", type=int, default=16,
                    help="batch size for --all directory mode")
+    p.add_argument("--anchors", type=str, default=None,
+                   help="anchors.json from an --autoanchor training run "
+                        "(SAVED_CHECKPOINT/{run}/anchors.json)")
     p.add_argument("--out", type=str, default="detections_exp")
     return p.parse_args()
 
@@ -106,7 +109,14 @@ def main(opt):
         variables = fold_batchnorm(variables)
         model = YOLOv5(first_out=cfg.first_out, nc=cfg.nc,
                        dtype=jnp.bfloat16, fused=True, depth_mult=fam_dm)
-    anchors_norm = jnp.asarray(normalized_anchors())
+    if getattr(opt, "anchors", None):
+        import json
+        with open(opt.anchors) as f:
+            anchors_px = np.asarray(json.load(f), np.float32)
+        anchors_norm = jnp.asarray(normalized_anchors(anchors=anchors_px))
+        print(f"==> using anchors from {opt.anchors}")
+    else:
+        anchors_norm = jnp.asarray(normalized_anchors())
 
     if getattr(opt, "all", False):
         assert getattr(opt, "img_dir", None), "--all needs --img_dir"

@@ -69,6 +69,11 @@ def arg_parser():
                         "(production recipe)")
     p.add_argument("--warmup_epochs", type=float, default=0.0,
                    help="linear lr warmup span in epochs (cosine schedule)")
+    p.add_argument("--autoanchor", action="store_true",
+                   help="re-fit anchors to the train dataset by k-means when "
+                        "the default anchors' best-possible-recall < 0.98 "
+                        "(Ultralytics check_anchors; reference uses fixed "
+                        "COCO anchors for every dataset)")
     p.add_argument("--label_smoothing", type=float, default=0.0,
                    help="cls BCE label smoothing epsilon (Ultralytics "
                         "smooth_BCE; reference has none)")
@@ -143,8 +148,24 @@ def main(opt):
 
     model = YOLOv5(first_out=cfg.first_out, nc=cfg.nc, dtype=jnp.bfloat16,
                    depth_mult=fam_dm, remat=getattr(opt, "remat", False))
-    anchors_norm = normalized_anchors()
     anchors_px = np.asarray(ANCHORS, np.float32)
+    if getattr(opt, "autoanchor", False):
+        from yolov5m_tpu.data.autoanchor import check_and_fit
+        from yolov5m_tpu.data.dataset import DetectionDataset
+        aa_ds = DetectionDataset(root, train=True, default_size=cfg.image_size,
+                                 bs=opt.bs, bboxes_format=opt.box_format,
+                                 max_boxes=opt.max_boxes)
+        anchors_px, aa_info = check_and_fit(aa_ds, anchors_px,
+                                            image_size=cfg.image_size,
+                                            anchor_t=cfg.anchor_t)
+        if aa_info["refit"]:
+            print(f"==> autoanchor: refit (BPR {aa_info['bpr_default']:.3f} "
+                  f"-> {aa_info['bpr_fitted']:.3f}) over "
+                  f"{aa_info['n_boxes']} boxes:\n{anchors_px.tolist()}")
+        else:
+            print(f"==> autoanchor: defaults kept "
+                  f"(BPR {aa_info['bpr_default']:.3f})")
+    anchors_norm = normalized_anchors(anchors=anchors_px)
 
     ms_sizes = None
     if getattr(opt, "multi_scale", "") and not opt.rect:
@@ -169,6 +190,22 @@ def main(opt):
         starting_epoch = last + 1
     else:
         filename = opt.filename or next_run_name(ckpt_root)
+
+    # anchors persist with the run: a refit (autoanchor) is saved to the
+    # run dir and reloaded on --resume, so loss/decode anchors never silently
+    # diverge from the ones the checkpoint was trained with
+    import json as _json
+    anchors_path = os.path.join(ckpt_root, filename, "anchors.json")
+    if opt.resume and os.path.isfile(anchors_path):
+        with open(anchors_path) as f:
+            anchors_px = np.asarray(_json.load(f), np.float32)
+        anchors_norm = normalized_anchors(anchors=anchors_px)
+        print(f"==> loaded run anchors from {anchors_path}")
+    elif not np.array_equal(anchors_px, np.asarray(ANCHORS, np.float32)):
+        os.makedirs(os.path.dirname(anchors_path), exist_ok=True)
+        with open(anchors_path, "w") as f:
+            _json.dump(anchors_px.tolist(), f)
+        print(f"==> saved refit anchors to {anchors_path}")
 
     accumulate = accumulation_steps(opt.bs, cfg.nominal_batch_size)
     # schedule horizon in OPTIMIZER steps (accumulation-gated)
