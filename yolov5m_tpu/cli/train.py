@@ -85,6 +85,9 @@ def arg_parser():
     p.add_argument("--guard_nonfinite", action="store_true",
                    help="skip optimizer updates whose gradients are "
                         "NaN/inf instead of poisoning the params")
+    p.add_argument("--confusion", action="store_true",
+                   help="write a per-class confusion-matrix CSV next to the "
+                        "eval CSVs every epoch")
     p.add_argument("--coco_dump", type=str, default=None,
                    help="directory for COCO-format eval dumps "
                         "(annotations.json + results.json) so the metrics "
@@ -315,9 +318,13 @@ def main(opt):
                   f"({time.time()-t0:.0f}s)")
 
         variables = {"params": state.eval_params, "batch_stats": state.batch_stats}
+        cm_path = (os.path.join("train_eval_metrics", filename,
+                                f"confusion_epoch_{epoch}.csv")
+                   if getattr(opt, "confusion", False) and save_logs else None)
         results = evaluator.run(
             variables, val_loader,
-            coco_dump_dir=getattr(opt, "coco_dump", None), class_names=labels)
+            coco_dump_dir=getattr(opt, "coco_dump", None), class_names=labels,
+            confusion_csv=cm_path)
         print(f"Class accuracy: {results['class_accuracy']*100:.2f}%")
         print(f"Obj accuracy: {results['obj_accuracy']*100:.2f}%")
         print(f"MAP50: {results['map50']:.4f}, MAP75: {results['map75']:.4f}")

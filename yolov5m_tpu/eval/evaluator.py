@@ -94,17 +94,24 @@ class Evaluator:
 
     def run(self, variables, loader: Iterable[dict],
             coco_dump_dir: Optional[str] = None,
-            class_names=None) -> dict:
+            class_names=None,
+            confusion_csv: Optional[str] = None) -> dict:
         """Evaluate over a BatchLoader. Returns metrics dict.
 
         coco_dump_dir: also write standard COCO-format annotations.json +
         results.json there (eval/coco_dump.py) so the run can be re-scored
         externally with pycocotools/torchmetrics.
+        confusion_csv: also accumulate an Ultralytics-style per-class
+        confusion matrix (eval/confusion.py) and write it as CSV.
         """
         dump = None
         if coco_dump_dir is not None:
             from yolov5m_tpu.eval.coco_dump import CocoDump
             dump = CocoDump(class_names)
+        cmat = None
+        if confusion_csv is not None:
+            from yolov5m_tpu.eval.confusion import ConfusionMatrix
+            cmat = ConfusionMatrix(self.cfg.nc)
         image_id = 0
         mapm = MeanAveragePrecision()
         counts = np.zeros(4)
@@ -140,11 +147,20 @@ class Evaluator:
                     dump.add_image(image_id, w, h,
                                    det[b][keep][:, 2:6], det[b][keep][:, 1],
                                    det[b][keep][:, 0], gt_xyxy, gt[:, 0])
+                if cmat is not None:
+                    cmat.update(
+                        preds=dict(boxes=det[b][keep][:, 2:6],
+                                   scores=det[b][keep][:, 1],
+                                   labels=det[b][keep][:, 0]),
+                        targets=dict(boxes=gt_xyxy, labels=gt[:, 0]))
                 image_id += 1
 
         if dump is not None:
             paths = dump.write(coco_dump_dir)
             print(f"=> COCO-format eval dump: {paths['results']}")
+        if cmat is not None:
+            cmat.save_csv(confusion_csv, class_names)
+            print(f"=> confusion matrix: {confusion_csv}")
         m = mapm.compute()
         class_acc = counts[0] / (counts[1] + 1e-16)
         obj_acc = counts[2] / (counts[3] + 1e-16)
