@@ -534,3 +534,26 @@ def test_pycocotools_area_parity_if_available(rng):
     assert abs(ev.stats[3] - ours["map_small"]) < 0.02
     assert abs(ev.stats[4] - ours["map_medium"]) < 0.02
     assert abs(ev.stats[5] - ours["map_large"]) < 0.02
+
+
+def test_precision_recall_at_max_f1():
+    """Perfect predictions -> P=R=1; half-missed GT with no FPs ->
+    P=1, R=0.5."""
+    m = MeanAveragePrecision()
+    b1, b2 = _sq_box(50, 50, 40), _sq_box(200, 200, 40)
+    m.update(preds=dict(boxes=np.array([b1, b2], np.float32),
+                        scores=np.array([0.9, 0.8], np.float32),
+                        labels=np.array([0, 0])),
+             targets=dict(boxes=np.array([b1, b2], np.float32),
+                          labels=np.array([0, 0])))
+    r = m.compute()
+    assert r["precision"] == 1.0 and r["recall"] == 1.0
+
+    m2 = MeanAveragePrecision()
+    m2.update(preds=dict(boxes=np.array([b1], np.float32),
+                         scores=np.array([0.9], np.float32),
+                         labels=np.array([0])),
+              targets=dict(boxes=np.array([b1, b2], np.float32),
+                           labels=np.array([0, 0])))
+    r2 = m2.compute()
+    assert r2["precision"] == 1.0 and abs(r2["recall"] - 0.5) < 1e-9

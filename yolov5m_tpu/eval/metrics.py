@@ -172,6 +172,8 @@ class MeanAveragePrecision:
         nr = len(AREA_RANGES)
         ap = np.full((nr, len(classes), nt), np.nan)
 
+        t50_ = int(np.argmin(np.abs(self.iou_thresholds - 0.5)))
+        pr_f1 = np.full((len(classes), 2), np.nan)   # per-class P, R @ max F1
         for ci, c in enumerate(classes):
             sel = labels == c
             for r in range(nr):
@@ -180,6 +182,8 @@ class MeanAveragePrecision:
                     continue                                 # nan: no GT here
                 if not sel.any():
                     ap[r, ci] = 0.0
+                    if r == 0:
+                        pr_f1[ci] = (0.0, 0.0)
                     continue
                 tpc = tp[sel, :, r].astype(np.float64)       # (nd, nt)
                 igc = ig[sel, :, r]
@@ -189,6 +193,14 @@ class MeanAveragePrecision:
                                    axis=0)
                 recall = cum_tp / n_gt
                 precision = cum_tp / np.maximum(cum_tp + cum_fp, 1e-9)
+                if r == 0:
+                    # P/R at the max-F1 operating point, IoU 0.5 ("all"
+                    # range) — the Ultralytics val-table statistics
+                    p50 = precision[:, t50_]
+                    r50 = recall[:, t50_]
+                    f1 = 2 * p50 * r50 / np.maximum(p50 + r50, 1e-9)
+                    bi = int(np.argmax(f1))
+                    pr_f1[ci] = (p50[bi], r50[bi])
                 for ti in range(nt):
                     # monotone precision envelope + 101-pt integration
                     p = precision[:, ti]
@@ -206,10 +218,19 @@ class MeanAveragePrecision:
             mean_ap = np.nanmean(ap, axis=1)                 # (nr, nt)
         t50 = int(np.argmin(np.abs(self.iou_thresholds - 0.5)))
         t75 = int(np.argmin(np.abs(self.iou_thresholds - 0.75)))
+        with np.errstate(invalid="ignore"):
+            import warnings as _w
+            with _w.catch_warnings():
+                _w.simplefilter("ignore", category=RuntimeWarning)
+                mp, mr = np.nanmean(pr_f1, axis=0)
         out = {
             "map": float(np.nanmean(mean_ap[0])),
             "map_50": float(mean_ap[0, t50]),
             "map_75": float(mean_ap[0, t75]),
+            # macro-averaged P/R at each class's max-F1 point, IoU 0.5
+            # (Ultralytics val-table semantics)
+            "precision": float(mp) if not np.isnan(mp) else -1.0,
+            "recall": float(mr) if not np.isnan(mr) else -1.0,
             "ap_per_class": {int(c): float(np.nanmean(ap[0, ci]))
                              for ci, c in enumerate(classes)},
         }
