@@ -33,6 +33,9 @@ def arg_parser():
                    help="write a serialized StableHLO artifact here")
     p.add_argument("--with_postprocess", action="store_true",
                    help="StableHLO only: bake decode+NMS into the artifact")
+    p.add_argument("--anchors", type=str, default=None,
+                   help="anchors.json from an --autoanchor run, baked into "
+                        "the postprocess export")
     return p.parse_args()
 
 
@@ -63,10 +66,18 @@ def main(opt):
 
     if opt.stablehlo:
         from yolov5m_tpu.utils.export import export_stablehlo
+        anchors_px = None
+        if getattr(opt, "anchors", None):
+            import json
+
+            import numpy as np
+            with open(opt.anchors) as f:
+                anchors_px = np.asarray(json.load(f), np.float32)
+            print(f"==> baking anchors from {opt.anchors}")
         path = export_stablehlo(
             model, variables, opt.stablehlo,
             input_shape=(opt.batch, opt.image_size, opt.image_size, 3),
-            with_postprocess=opt.with_postprocess)
+            with_postprocess=opt.with_postprocess, anchors_px=anchors_px)
         print(f"wrote StableHLO: {path}")
 
 

@@ -16,19 +16,23 @@ import jax.numpy as jnp
 def export_stablehlo(model, variables, path: str,
                      input_shape: Tuple[int, int, int, int] = (1, 640, 640, 3),
                      with_postprocess: bool = False,
-                     conf: float = 0.25, iou: float = 0.45) -> str:
+                     conf: float = 0.25, iou: float = 0.45,
+                     anchors_px=None) -> str:
     """Serialize the model forward to a StableHLO artifact.
 
     Args:
       with_postprocess: also bake in decode + NMS (fixed-shape (bs,300,6)
         detections output).
+      anchors_px: (nl, na, 2) pixel anchors to bake in (e.g. an autoanchor
+        refit); default COCO anchors.
     Returns the written path.
     """
     from yolov5m_tpu.models.yolo import normalized_anchors
     from yolov5m_tpu.ops.decode import decode_predictions
     from yolov5m_tpu.ops.nms import batched_nms
 
-    anchors = jnp.asarray(normalized_anchors())
+    anchors = jnp.asarray(normalized_anchors(anchors=anchors_px)
+                          if anchors_px is not None else normalized_anchors())
 
     if with_postprocess:
         def fn(image):
