@@ -190,3 +190,23 @@ def test_onnx_checker_if_available(exported):
                       train=False)
     for g, r in zip(outs, ref):
         np.testing.assert_allclose(g, np.asarray(r), rtol=1e-4, atol=1e-4)
+
+
+def test_family_variant_numeric_parity(tmp_path, rng):
+    """Non-default depth (n/s-style depth_mult=0.33): the exporter must
+    follow the same depth law as the flax model — verified by the torch
+    interpreter reproducing the flax forward."""
+    model = YOLOv5(first_out=8, nc=NC, dtype=jnp.float32, depth_mult=0.33)
+    variables = model.init(jax.random.PRNGKey(1), jnp.zeros((1, HW, HW, 3)))
+    path = str(tmp_path / "yolov5n_ish.onnx")
+    export_onnx(variables, path, nc=NC, first_out=8, image_size=HW,
+                depth_mult=0.33)
+    with open(path, "rb") as f:
+        decoded = decode_model(f.read())
+
+    x_nhwc = rng.uniform(0, 1, (1, HW, HW, 3)).astype(np.float32)
+    ref = jax.jit(lambda v, x: model.apply(v, x, train=False))(
+        variables, jnp.asarray(x_nhwc))
+    got = _torch_run(decoded, x_nhwc.transpose(0, 3, 1, 2))
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(g, np.asarray(r), rtol=1e-4, atol=1e-4)
