@@ -109,18 +109,23 @@ BACKENDS = ("auto", "xla", "xla_loop", "pallas")
 def resolve_backend(backend: str, k: int) -> str:
     """Resolve backend="auto" to the fastest backend for this K.
 
-    Policy: the fixpoint XLA backend is the default everywhere — on a healthy
-    v5e it beats both the sequential scan and the Pallas kernel because the
-    per-step matvec rides the MXU and XLA overlaps the suppress-matrix build
-    with the surrounding graph. The Pallas kernel (VMEM-resident S) is kept
-    for K where HBM re-streaming of S would dominate; measured crossover
-    pending a healthy-chip window (see ROUND2_NOTES.md) — `k` is the hook for
-    that policy.
+    Measured (healthy v5e window, 2026-08-17, interleaved arms, full fused
+    pipeline at bs=64 — see ROUND2_NOTES.md):
+        K=1024: pallas 49.41 ms | xla 49.86 | xla_loop 50.75
+        K=2048: pallas 53.78 ms | xla 55.22 | xla_loop 57.47
+    The Pallas kernel (suppress matrix built AND consumed in VMEM) wins at
+    both K, with the margin growing with K (the XLA fixpoint re-streams the
+    (K,K) matrix from HBM every iteration). Policy: pallas on real TPU
+    backends while K fits its VMEM cap; XLA fixpoint otherwise (CPU tests,
+    huge K).
     """
     if backend not in BACKENDS:
         raise ValueError(f"unknown NMS backend {backend!r}; one of {BACKENDS}")
     if backend != "auto":
         return backend
+    from yolov5m_tpu.ops.pallas import MAX_K, pallas_available
+    if pallas_available() and k <= MAX_K and k % 128 == 0:
+        return "pallas"
     return "xla"
 
 
@@ -176,7 +181,7 @@ def nms_single(rows, iou_threshold, conf_threshold, max_detections=300,
                               "max_detections", "pre_nms_topk", "backend",
                               "interpret"))
 def batched_nms(rows, iou_threshold, conf_threshold, max_detections=300,
-                pre_nms_topk=1024, backend="xla", interpret=False):
+                pre_nms_topk=1024, backend="auto", interpret=False):
     """Batched NMS, one fixed-shape XLA computation (replaces the reference's
     per-image Python loop over torchvision.ops.nms, bboxes_utils.py:184-209).
 

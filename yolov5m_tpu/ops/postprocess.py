@@ -63,7 +63,7 @@ def fused_detect(
     iou_threshold: float = 0.45,
     max_detections: int = 300,
     pre_nms_topk: int = 1024,
-    backend: str = "xla",
+    backend: str = "auto",
 ):
     """preds: list of (bs, na, ny, nx, 5+nc) raw logits (any float dtype).
 
