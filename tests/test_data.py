@@ -87,6 +87,33 @@ def test_batch_loader_fixed_shapes(tiny_dataset):
         assert np.all(b["labels"][~b["mask"]] == 0)
 
 
+def test_batch_loader_emits_original_sizes(tiny_dataset):
+    """Batches carry orig_hw = pre-resize source-image sizes (eval rescales
+    boxes/areas back to source coordinates for COCO-comparable area buckets),
+    including under rect training where annotation rows are overwritten with
+    planned batch shapes."""
+    for rect in (False, True):
+        ds = DetectionDataset(tiny_dataset, train=False, rect_training=rect,
+                              bs=2, max_boxes=16)
+        loader = BatchLoader(ds, batch_size=2)
+        by_name = dict(ds.orig_sizes)
+        seen = 0
+        for b in loader:
+            assert b["orig_hw"].shape == (2, 2)
+            for k in range(2):
+                if not b["image_valid"][k]:
+                    continue
+                seen += 1
+                assert tuple(b["orig_hw"][k]) in by_name.values()
+        assert seen == 4
+        # orig sizes are the real file sizes, not the planned shapes
+        for name, (h, w) in by_name.items():
+            from PIL import Image as _Image
+            with _Image.open(os.path.join(tiny_dataset, "images", "val",
+                                          name)) as im:
+                assert (im.size[1], im.size[0]) == (h, w)
+
+
 def test_batch_loader_rect_batches_share_shape(tiny_dataset):
     ds = DetectionDataset(tiny_dataset, train=False, rect_training=True, bs=2)
     loader = BatchLoader(ds, batch_size=2)

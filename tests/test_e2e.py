@@ -104,6 +104,19 @@ def test_train_cli_rect_and_ultralytics_loss(dataset_root, tmp_path, monkeypatch
     assert len(eval_csv.strip().splitlines()) == 2
 
 
+def test_default_multiscale_buckets():
+    """Non-rect training multi-scales BY DEFAULT, like the reference
+    (training_utils.py:99-100): at 640 the auto buckets are [512, 576, 640];
+    tiny sizes collapse to a single bucket and disable multi-scale."""
+    from yolov5m_tpu.data.loaders import default_multiscale_sizes
+
+    assert default_multiscale_sizes(640) == [512, 576, 640]
+    assert default_multiscale_sizes(320) == [256, 288, 320]
+    assert default_multiscale_sizes(64) is None   # collapses → off
+    for s in default_multiscale_sizes(640):
+        assert s % 32 == 0
+
+
 def test_train_cli_mosaic_hsv_multiscale(dataset_root, tmp_path, monkeypatch):
     """Mosaic + HSV + multi-scale buckets through the CLI."""
     from yolov5m_tpu.cli.train import main

@@ -471,6 +471,25 @@ def test_area_range_metrics_partition():
     assert r["map_medium"] == -1.0          # no medium GT anywhere
 
 
+def test_area_scale_rescales_buckets_to_original_pixels():
+    """area_scale maps network-space box areas back to ORIGINAL-image pixels
+    for bucketing (COCOeval buckets in source coordinates): a 20x20
+    network-space box on an image downscaled 2x per axis is really 40x40 =
+    1600 px^2 -> medium, not small."""
+    m = MeanAveragePrecision()
+    box = _sq_box(50, 50, 20)                   # net-space area 400
+    m.update(preds=dict(boxes=np.array([box], np.float32),
+                        scores=np.array([0.9], np.float32),
+                        labels=np.array([0])),
+             targets=dict(boxes=np.array([box], np.float32),
+                          labels=np.array([0])),
+             area_scale=4.0)                    # (w0/w)*(h0/h) = 2*2
+    r = m.compute()
+    assert r["map_medium"] == 1.0
+    assert r["map_small"] == -1.0               # no small GT after rescale
+    assert r["map_50"] == 1.0                   # 'all' range unaffected
+
+
 def test_out_of_range_detection_is_ignored_not_fp():
     """A large unmatched detection must not hurt map_small (ignored for the
     small range), while it does hurt the 'all'/'large' ranges."""

@@ -54,6 +54,45 @@ def test_train_state_has_no_aliased_buffers():
             seen.add(ptr)
 
 
+def test_upgrade_opt_state_under_guard_nonfinite():
+    """Resuming a --guard_nonfinite constant-lr checkpoint into a guarded
+    cosine run: the opt_state is an ApplyIfFiniteState wrapper, and the
+    schedule-count graft must recurse into .inner_state instead of indexing
+    the wrapper's scalar fields (advisor repro: AttributeError 'ArrayImpl'
+    has no attribute 'count')."""
+    import optax
+
+    from yolov5m_tpu.train.trainer import upgrade_opt_state_to_schedule
+
+    params = {"w": jnp.ones((3, 3)), "b": jnp.zeros((3,))}
+    cfg_const = dataclasses.replace(Config(), guard_nonfinite=True)
+    opt_const = make_optimizer(cfg_const)
+    st = opt_const.init(params)
+    # take a couple of constant-lr steps so Adam's count is nonzero
+    grads = jax.tree.map(jnp.ones_like, params)
+    for _ in range(3):
+        _, st = opt_const.update(grads, st, params)
+
+    upgraded = upgrade_opt_state_to_schedule(st)
+    inner = upgraded.inner_state
+    assert isinstance(inner[3], optax.ScaleByScheduleState)
+    assert int(inner[3].count) == int(inner[2].count) == 3
+
+    # and the upgraded state must actually drive the cosine optimizer
+    cfg_cos = dataclasses.replace(Config(), guard_nonfinite=True,
+                                  lr_schedule="cosine", warmup_steps=0)
+    opt_cos = make_optimizer(cfg_cos, total_steps=100)
+    updates, _ = opt_cos.update(grads, upgraded, params)
+    assert all(np.isfinite(np.asarray(u)).all()
+               for u in jax.tree.leaves(updates))
+
+    # unguarded states still upgrade exactly as before
+    opt_plain = make_optimizer(dataclasses.replace(Config()))
+    st_plain = opt_plain.init(params)
+    up_plain = upgrade_opt_state_to_schedule(st_plain)
+    assert isinstance(up_plain[3], optax.ScaleByScheduleState)
+
+
 def test_guard_nonfinite_skips_bad_updates():
     """cfg.guard_nonfinite: a NaN-producing batch must leave params and EMA
     untouched; a clean batch must still update them."""

@@ -1,0 +1,238 @@
+"""Parity vs the ACTUAL reference implementation (/root/reference), imported
+and executed as the oracle (tests/reference_oracle.py).
+
+The transcription goldens (tests/torch_golden.py, tests/loss_golden.py)
+remain as secondary evidence; these tests anchor the same claims to the
+reference's own code:
+
+  * model topology: reference state_dict keys/shapes == what our converter
+    expects, at the flagship m size (reference model.py:178-208);
+  * forward: reference YOLOV5m eval forward == our flax forward under
+    converted weights (reference model.py:210-239);
+  * both losses: reference YOLO_LOSS (loss.py:20-246) and ComputeLoss
+    (ultralytics_loss.py:17-120) values == ours on identical inputs;
+  * decode: reference cells_to_bboxes (plot_utils.py:10-41) == our
+    decode_predictions, row for row;
+  * detect end-to-end: reference decode+NMS box list == ours (single-class,
+    where the reference's class-offset NMS trick is exact — see
+    ops/nms.py module docstring for the multi-class deviation).
+
+Input constraints, by design of the comparison (documented, deterministic):
+the custom-loss cases use one image with one box and a fresh YOLO_LOSS per
+call because the reference's iou_width_height mutates its anchors argument
+in place (reference bboxes_utils.py:18, SURVEY.md §2 quirks) — cumulative
+across calls — and ignore cells are asserted absent because the reference
+feeds -1 targets straight into BCE where we deliberately mask them
+(train/loss.py module docstring).
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax                                                    # noqa: E402
+import jax.numpy as jnp                                       # noqa: E402
+
+from tests.reference_oracle import import_reference, make_reference_model  # noqa: E402
+from yolov5m_tpu.models import YOLOv5                          # noqa: E402
+from yolov5m_tpu.models.weights import (                       # noqa: E402
+    convert_torch_state_dict, expected_torch_keys)
+from yolov5m_tpu.models.yolo import normalized_anchors         # noqa: E402
+
+
+def _our_converted(first_out, nc, hw, sd):
+    model = YOLOv5(first_out=first_out, nc=nc, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, hw, hw, 3), jnp.float32))
+    return model, convert_torch_state_dict(sd, variables)
+
+
+def test_state_dict_structure_matches_reference_flagship():
+    """At the flagship m size (first_out=48, nc=80): the reference model's
+    state-dict keys and shapes are exactly what our converter consumes
+    (modulo BN bookkeeping counters and the anchor buffer, which carry no
+    learned weights)."""
+    _, sd = make_reference_model(first_out=48, nc=80)
+    ref_keys = {k: tuple(v.shape) for k, v in sd.items()
+                if not k.endswith("num_batches_tracked")
+                and k != "head.anchors"}
+
+    model = YOLOv5(first_out=48, nc=80, dtype=jnp.float32)
+    structs = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3), jnp.float32)))
+    # materialize zeros from the shape structs (no full model init needed)
+    variables = jax.tree.map(lambda s: np.zeros(s.shape, np.float32), structs)
+    ours = expected_torch_keys(variables)
+
+    assert set(ours) == set(ref_keys)
+    for k in ref_keys:
+        assert tuple(ours[k]) == ref_keys[k], k
+
+
+def test_forward_parity_vs_reference(rng):
+    """Reference eval forward == our forward under converted weights."""
+    nc, hw = 4, 64
+    ref_model, sd = make_reference_model(first_out=8, nc=nc)
+    model, variables = _our_converted(8, nc, hw, sd)
+
+    x = rng.uniform(0, 1, (2, 3, hw, hw)).astype(np.float32)
+    with torch.no_grad():
+        exp = ref_model(torch.from_numpy(x.copy()))
+    got = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                      train=False)
+    assert len(got) == len(exp) == 3
+    for g, e in zip(got, exp):
+        np.testing.assert_allclose(np.asarray(g), e.numpy(),
+                                   rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("box", [
+    # (class, x, y, w, h) normalized — chosen so the reference's Aladdin
+    # assignment yields one positive per scale and NO ignore (-1) cells
+    # (asserted below), keeping the comparison on shared semantics
+    (2, 0.40, 0.35, 0.15, 0.20),
+    (0, 0.62, 0.55, 0.05, 0.04),
+    (3, 0.30, 0.70, 0.45, 0.38),
+])
+def test_custom_loss_parity_vs_reference(box, rng):
+    """Reference YOLO_LOSS == our kind='custom' loss on identical preds and
+    a single ground-truth box (see module docstring for why single)."""
+    from yolov5m_tpu.config import ANCHORS
+    from yolov5m_tpu.train import LossConfig, YoloLoss
+
+    nc, hw = 4, 64
+    ref = import_reference()
+    ref_model, _ = make_reference_model(first_out=8, nc=nc)
+
+    shapes = [(1, 3, hw // s, hw // s, 5 + nc) for s in (8, 16, 32)]
+    preds_np = [rng.normal(0, 1, s).astype(np.float32) for s in shapes]
+
+    gt = np.asarray([box], np.float32)                       # (1, 5)
+
+    # precondition: no ignore cells (fresh instance; anchors mutate in place)
+    probe = ref.loss.YOLO_LOSS(ref_model, rect_training=False)
+    ref_targets = probe.build_targets(
+        [torch.from_numpy(p) for p in preds_np], gt, hw)
+    n_pos = sum(int((t[..., 4] == 1).sum()) for t in ref_targets)
+    n_ign = sum(int((t[..., 4] == -1).sum()) for t in ref_targets)
+    assert n_pos == 3 and n_ign == 0, (n_pos, n_ign)
+
+    loss_obj = ref.loss.YOLO_LOSS(ref_model, rect_training=False)
+    with torch.no_grad():
+        exp = float(loss_obj([torch.from_numpy(p) for p in preds_np],
+                             (gt,), hw))
+
+    ours = YoloLoss(LossConfig(nc=nc, image_size=640),
+                    np.asarray(ANCHORS, np.float32), kind="custom")
+    labels = np.zeros((1, 4, 5), np.float32)
+    labels[0, 0] = box
+    mask = np.zeros((1, 4), bool)
+    mask[0, 0] = True
+    got, _ = ours([jnp.asarray(p) for p in preds_np],
+                  jnp.asarray(labels), jnp.asarray(mask))
+    np.testing.assert_allclose(float(got), exp, rtol=2e-4, atol=2e-5)
+
+
+def test_ultralytics_loss_parity_vs_reference(rng):
+    """Reference ComputeLoss == our kind='ultralytics' loss on identical
+    preds and well-separated ground truth (the reference's tobj writes are
+    last-write-wins on overlapping candidates; ours resolve by max — equal
+    when no cell is claimed twice)."""
+    from yolov5m_tpu.config import ANCHORS
+    from yolov5m_tpu.train import LossConfig, YoloLoss
+
+    nc, hw, bs = 4, 64, 2
+    ref = import_reference()
+    ref_model, _ = make_reference_model(first_out=8, nc=nc)
+
+    shapes = [(bs, 3, hw // s, hw // s, 5 + nc) for s in (8, 16, 32)]
+    preds_np = [rng.normal(0, 1, s).astype(np.float32) for s in shapes]
+
+    # (img_idx, class, x, y, w, h) — far apart so no candidate cell collides
+    t_rows = np.asarray([
+        [0, 1, 0.25, 0.25, 0.12, 0.10],
+        [0, 3, 0.75, 0.70, 0.30, 0.28],
+        [1, 0, 0.40, 0.60, 0.08, 0.07],
+    ], np.float32)
+
+    comp = ref.ultralytics_loss.ComputeLoss(ref_model)
+    with torch.no_grad():
+        exp = float(comp([torch.from_numpy(p) for p in preds_np],
+                         torch.from_numpy(t_rows), hw))
+
+    ours = YoloLoss(LossConfig(nc=nc, image_size=640),
+                    np.asarray(ANCHORS, np.float32), kind="ultralytics")
+    labels = np.zeros((bs, 4, 5), np.float32)
+    mask = np.zeros((bs, 4), bool)
+    counts = [0] * bs
+    for row in t_rows:
+        b = int(row[0])
+        labels[b, counts[b]] = row[1:]
+        mask[b, counts[b]] = True
+        counts[b] += 1
+    got, _ = ours([jnp.asarray(p) for p in preds_np],
+                  jnp.asarray(labels), jnp.asarray(mask))
+    np.testing.assert_allclose(float(got), exp, rtol=2e-4, atol=2e-5)
+
+
+def test_decode_parity_vs_reference(rng):
+    """Reference cells_to_bboxes == our decode_predictions, row for row
+    (same scale-major, anchor-major, row-major layout)."""
+    from yolov5m_tpu.ops.decode import decode_predictions
+
+    nc, hw = 4, 64
+    ref = import_reference()
+    ref_model, _ = make_reference_model(first_out=8, nc=nc)
+
+    shapes = [(2, 3, hw // s, hw // s, 5 + nc) for s in (8, 16, 32)]
+    preds_np = [rng.normal(0, 1, s).astype(np.float32) for s in shapes]
+
+    with torch.no_grad():
+        exp = ref.plot_utils.cells_to_bboxes(
+            [torch.from_numpy(p) for p in preds_np],
+            ref_model.head.anchors, ref_model.head.stride,
+            is_pred=True, to_list=False).numpy()
+
+    got = np.asarray(decode_predictions(
+        [jnp.asarray(p) for p in preds_np],
+        jnp.asarray(normalized_anchors())))
+
+    assert got.shape == exp.shape
+    np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-4)
+
+
+def test_detect_e2e_parity_vs_reference_single_class(rng):
+    """End-to-end detect parity: forward → decode → NMS on a single-class
+    head, where the reference's class-offset NMS (bboxes_utils.py:195) is
+    exactly class-aware. Kept boxes must match ours one-for-one."""
+    from yolov5m_tpu.ops.decode import decode_predictions
+    from yolov5m_tpu.ops.nms import batched_nms
+
+    nc, hw = 1, 64
+    ref = import_reference()
+    ref_model, sd = make_reference_model(first_out=8, nc=nc, seed=3)
+    model, variables = _our_converted(8, nc, hw, sd)
+
+    x = rng.uniform(0, 1, (1, 3, hw, hw)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref_model(torch.from_numpy(x.copy()))
+        ref_rows = ref.plot_utils.cells_to_bboxes(
+            ref_out, ref_model.head.anchors, ref_model.head.stride,
+            is_pred=True, to_list=False)
+        ref_boxes = ref.bboxes_utils.non_max_suppression(
+            ref_rows, iou_threshold=0.45, threshold=0.25,
+            tolist=False).numpy()                      # (n, 6) cls conf xyxy
+
+    preds = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                        train=False)
+    rows = decode_predictions(preds, jnp.asarray(normalized_anchors()))
+    det, valid = batched_nms(rows, 0.45, 0.25, 300, 1024)
+    got = np.asarray(det[0])[np.asarray(valid[0])]
+
+    assert len(got) == len(ref_boxes) > 0
+    # both score-descending; compare row-for-row
+    np.testing.assert_allclose(got[:, 1], ref_boxes[:, 1], atol=1e-4)
+    np.testing.assert_allclose(got[:, 2:], ref_boxes[:, 2:],
+                               rtol=1e-3, atol=5e-3)

@@ -57,10 +57,17 @@ def arg_parser():
                         "config; the reference has none)")
     p.add_argument("--hsv", action="store_true",
                    help="random HSV gains augmentation")
-    p.add_argument("--multi_scale", type=str, default="",
+    p.add_argument("--multi_scale", type=str, default="auto",
                    help="comma-separated multi-scale sizes (e.g. 512,576,640);"
                         " static jit buckets replacing the reference's random"
-                        " per-batch resize; ignored with --rect")
+                        " per-batch resize. Default 'auto' = {0.8,0.9,1.0}x"
+                        " image_size buckets on every non-rect run (512/576/"
+                        "640 at 640) — the reference multi-scales non-rect"
+                        " training by default (training_utils.py:99-100);"
+                        " ignored with --rect")
+    p.add_argument("--no_multi_scale", action="store_true",
+                   help="train at the fixed image_size only "
+                        "(same as --multi_scale off)")
     p.add_argument("--datasets_dir", type=str, default=None,
                    help="override the datasets root (default: ../datasets)")
     p.add_argument("--lr_schedule", type=str, default="constant",
@@ -170,9 +177,18 @@ def main(opt):
                   f"(BPR {aa_info['bpr_default']:.3f})")
     anchors_norm = normalized_anchors(anchors=anchors_px)
 
+    from yolov5m_tpu.data.loaders import default_multiscale_sizes
+    ms_opt = getattr(opt, "multi_scale", "auto")
+    if getattr(opt, "no_multi_scale", False):
+        ms_opt = "off"
     ms_sizes = None
-    if getattr(opt, "multi_scale", "") and not opt.rect:
-        ms_sizes = [int(s) for s in opt.multi_scale.split(",")]
+    if not opt.rect and ms_opt not in ("", "off"):
+        if ms_opt == "auto":
+            ms_sizes = default_multiscale_sizes(opt.image_size)
+        else:
+            ms_sizes = [int(s) for s in ms_opt.split(",")]
+    if ms_sizes:
+        print(f"==> multi-scale buckets: {ms_sizes}")
     train_loader, val_loader = get_loaders(
         root, opt.bs, rect_training=opt.rect, box_format=opt.box_format,
         max_boxes=opt.max_boxes, default_size=opt.image_size,

@@ -102,6 +102,11 @@ class DetectionDataset:
         annot_csv = os.path.join(self.root, "labels", f"annot_{self.split}.csv")
 
         self.annotations = self._load_or_build_annotations(annot_csv)
+        # original (pre-resize) image sizes by name — kept even under rect
+        # training (which overwrites annotation rows with planned batch
+        # shapes) so eval can rescale boxes/areas back to source-image
+        # coordinates (COCO area buckets are defined in original pixels)
+        self.orig_sizes = {name: (h, w) for name, h, w in self.annotations}
         if rect_training:
             self.annotations = self._adaptive_shape(self.annotations)
 
@@ -365,6 +370,15 @@ class BatchLoader:
         mask = np.zeros((self.bs, nb), bool)
         image_valid = np.zeros(self.bs, bool)
         image_valid[:len(idxs)] = True
+        # original (source-image) sizes: evaluator rescales boxes/areas back
+        # to source coordinates (padded rows default to the network size =
+        # identity scale; only eval consumes this — train batches may mosaic)
+        orig_hw = np.tile(np.asarray(hw, np.int32), (self.bs, 1))
+        for k, idx in enumerate(idxs):
+            name = self.ds.annotations[int(idx)][0]
+            o = self.ds.orig_sizes.get(name)
+            if o is not None:
+                orig_hw[k] = o
         if len(idxs) < self.bs and self.augment is not None \
                 and not getattr(self, "_warned_padding", False):
             self._warned_padding = True
@@ -399,4 +413,4 @@ class BatchLoader:
                 labels[k, :n] = lab[:n]
                 mask[k, :n] = True
         return {"image": imgs / 255.0, "labels": labels, "mask": mask,
-                "image_valid": image_valid}
+                "image_valid": image_valid, "orig_hw": orig_hw}

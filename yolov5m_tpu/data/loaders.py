@@ -9,6 +9,19 @@ from yolov5m_tpu.data.augment import TrainAugment
 from yolov5m_tpu.data.dataset import BatchLoader, DetectionDataset
 
 
+def default_multiscale_sizes(image_size: int):
+    """Default multi-scale bucket set for non-rect training:
+    {0.8, 0.9, 1.0}x image_size snapped to stride-32 multiples —
+    [512, 576, 640] at 640. The reference multi-scales every non-rect batch
+    by default (reference utils/training_utils.py:99-100, random size in
+    [0.5x, 1.05x)); static jit-compiled buckets are the TPU analog, and they
+    are ON by default to match (train CLI --no_multi_scale opts out).
+    Returns None when the buckets collapse to a single size (tiny images)."""
+    sizes = sorted({max(32, round(f * image_size / 32) * 32)
+                    for f in (0.8, 0.9, 1.0)})
+    return sizes if len(sizes) > 1 else None
+
+
 def get_loaders(
     db_root_dir: str,
     batch_size: int,

@@ -128,6 +128,13 @@ class Evaluator:
             # (nor a zero-padded blank counted at all)
             image_valid = np.asarray(batch.get(
                 "image_valid", np.ones(det.shape[0], bool)))
+            # per-image source-image sizes: areas for the small/medium/large
+            # buckets (and the COCO dump coordinates) are in ORIGINAL image
+            # pixels, like COCOeval — the network-space boxes are rescaled by
+            # the per-axis resize ratio (identity when the loader has no
+            # original-size info, e.g. synthetic batches)
+            orig_hw = np.asarray(batch.get(
+                "orig_hw", np.tile([h, w], (det.shape[0], 1))))
             for b in range(det.shape[0]):
                 if not image_valid[b]:
                     continue
@@ -138,15 +145,21 @@ class Evaluator:
                     gt_xyxy = xywhn_to_xyxy_np(gt[:, 1:5], w=w, h=h)
                 else:
                     gt_xyxy = np.zeros((0, 4), np.float32)
+                h0, w0 = int(orig_hw[b, 0]), int(orig_hw[b, 1])
+                sx, sy = w0 / w, h0 / h
                 mapm.update(
                     preds=dict(boxes=det[b][keep][:, 2:6],
                                scores=det[b][keep][:, 1],
                                labels=det[b][keep][:, 0]),
-                    targets=dict(boxes=gt_xyxy, labels=gt[:, 0]))
+                    targets=dict(boxes=gt_xyxy, labels=gt[:, 0]),
+                    area_scale=sx * sy)
                 if dump is not None:
-                    dump.add_image(image_id, w, h,
-                                   det[b][keep][:, 2:6], det[b][keep][:, 1],
-                                   det[b][keep][:, 0], gt_xyxy, gt[:, 0])
+                    scale = np.asarray([sx, sy, sx, sy], np.float32)
+                    dump.add_image(image_id, w0, h0,
+                                   det[b][keep][:, 2:6] * scale,
+                                   det[b][keep][:, 1],
+                                   det[b][keep][:, 0], gt_xyxy * scale,
+                                   gt[:, 0])
                 if cmat is not None:
                     cmat.update(
                         preds=dict(boxes=det[b][keep][:, 2:6],

@@ -71,7 +71,15 @@ class MeanAveragePrecision:
         # non-ignored GT count per (class, range index)
         self._gt_counts: Dict[tuple, int] = {}
 
-    def update(self, preds: dict, targets: dict) -> None:
+    def update(self, preds: dict, targets: dict,
+               area_scale: float = 1.0) -> None:
+        """area_scale: multiplier mapping box areas from the caller's
+        coordinate space to ORIGINAL-image pixels² for the small/medium/large
+        buckets — pass (w_orig/w_net)*(h_orig/h_net) when boxes are in
+        resized network-input coordinates. COCOeval buckets areas in original
+        image pixels (images are resized only AFTER area bucketing); without
+        the scale, size-bucket APs are only self-consistent in network space.
+        The 'all' range is unaffected."""
         boxes = np.asarray(preds["boxes"], np.float32).reshape(-1, 4)
         scores = np.asarray(preds["scores"], np.float32).reshape(-1)
         labels = np.asarray(preds["labels"]).reshape(-1).astype(int)
@@ -79,8 +87,9 @@ class MeanAveragePrecision:
         gt_labels = np.asarray(targets["labels"]).reshape(-1).astype(int)
 
         gt_area = ((gt_boxes[:, 2] - gt_boxes[:, 0])
-                   * (gt_boxes[:, 3] - gt_boxes[:, 1]))
-        det_area = ((boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1]))
+                   * (gt_boxes[:, 3] - gt_boxes[:, 1])) * float(area_scale)
+        det_area = ((boxes[:, 2] - boxes[:, 0])
+                    * (boxes[:, 3] - boxes[:, 1])) * float(area_scale)
         nr = len(AREA_RANGES)
         # per-range GT ignore: outside the area range (COCOeval _ignore)
         gt_ig = np.stack([(gt_area < lo) | (gt_area > hi)

@@ -91,7 +91,15 @@ def upgrade_opt_state_to_schedule(opt_state):
     empty) to the schedule-based optimizer (ScaleByScheduleState(count)):
     the schedule count is grafted from Adam's step count (index 2 in the
     make_optimizer chain), so a resumed run continues the schedule from the
-    right position instead of failing to deserialize."""
+    right position instead of failing to deserialize.
+
+    cfg.guard_nonfinite wraps the chain in optax.apply_if_finite, whose state
+    is an ApplyIfFiniteState holding the chain tuple as `.inner_state` — the
+    graft then applies to the inner tuple and the wrapper is rebuilt around
+    it (indexing the wrapper directly would hit its scalar fields)."""
+    if hasattr(opt_state, "inner_state"):  # optax.ApplyIfFiniteState
+        return opt_state._replace(
+            inner_state=upgrade_opt_state_to_schedule(opt_state.inner_state))
     parts = list(opt_state)
     adam = parts[2]
     parts[3] = optax.ScaleByScheduleState(count=adam.count)
