@@ -6,16 +6,36 @@ classes) forward + decode + class-aware NMS, all on-device in one jit.
 a plain-PyTorch A100 yolov5m 640 batch-inference figure, so target = 600
 img/s and vs_baseline = value / 600 (>1.0 beats the target).
 
-Measurement integrity (lessons from round 1, see CLAUDE.md + healthcheck.py):
-  * a chip healthcheck runs first and its result is embedded in the JSON, so
-    a capture taken inside a degradation window is self-describing;
+Measurement protocol (pre-registered, value-independent — no early stop
+conditioned on hitting the target, no max-selection):
+
+  * the pipeline runs as SEVERAL distinct jitted arm programs (NMS backend
+    variants of the same fused pipeline), interleaved per round. This shape
+    is required to be served the relay's fast lane at all: processes that
+    loop a single jitted program are throttled to ~2-4%% of chip speed
+    regardless of chip state (ROUND2_NOTES.md forensics, reproduced across
+    dozens of runs);
+  * the HEADLINE value is the MEDIAN round of the arm whose backend is the
+    shipped auto-selected default (ops/nms.py resolve_backend) over a fixed
+    time budget, after a fixed 2-round untimed warmup. Max and per-arm
+    medians are reported as auxiliary fields only;
   * timed iterations are dependency-chained through a device-side scalar
-    accumulator and the final scalar is fetched to the host — fetching real
-    data forces true completion (`block_until_ready` has been observed to
-    return early on this relay, healthcheck.py:17-20), and the chain means
-    one fetch proves every iteration ran;
-  * inputs are distinct device-resident batches (identical repeated
-    executions can be result-cached by remote-execution relays).
+    accumulator and the final scalar is fetched inside the timed window —
+    one fetch proves the whole chain executed (`block_until_ready` has been
+    observed returning early on this relay). Accumulators are monotone
+    across all rounds so no call is ever a byte-identical replay a
+    result-caching relay could serve without executing;
+  * inputs are several distinct device-resident batches, generated on
+    device (uploads of many 640^2 batches over the tunnel take minutes).
+
+Health / lane accounting: `single_program_lane_tflops` is a bf16 matmul
+probe that, being itself a single-program loop, measures the THROTTLED lane
+(~10 TFLOP/s) — it is reported for lane forensics, not as a chip-health
+verdict. The pipeline rounds themselves are the chip-capability signal;
+`relay_lane_observed` summarizes whether any measured round reached the
+fast lane. A median far below the ledger's fast-lane values with
+`relay_lane_observed: "slow"` means the capture landed in a throttled
+window, not that the pipeline got slower.
 
 Prints exactly one JSON line.
 """
@@ -23,6 +43,7 @@ Prints exactly one JSON line.
 import importlib.util
 import json
 import os
+import statistics
 import time
 
 import jax
@@ -32,27 +53,28 @@ from yolov5m_tpu.config import Config
 from yolov5m_tpu.models import YOLOv5
 from yolov5m_tpu.models.fuse import fold_batchnorm
 from yolov5m_tpu.models.yolo import normalized_anchors
+from yolov5m_tpu.ops.nms import resolve_backend
 from yolov5m_tpu.ops.postprocess import fused_detect
 
 A100_TARGET_IMG_S = 600.0  # 2x ~300 img/s (plain-torch A100 yolov5m batch inference)
 _HERE = os.path.dirname(os.path.abspath(__file__))
 
 
-def run_healthcheck() -> dict:
-    """Amortized matmul-chain probe (benchmarks/healthcheck.py), quiet."""
+def run_matmul_probe() -> dict:
+    """bf16 matmul-chain probe (benchmarks/healthcheck.py), quiet. NOTE: a
+    single-program loop — on this relay it measures the throttled
+    single-program lane, not chip capability (see module docstring)."""
     spec = importlib.util.spec_from_file_location(
         "healthcheck", os.path.join(_HERE, "benchmarks", "healthcheck.py"))
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     if jax.devices()[0].platform == "cpu":
-        # CPU smoke run (not the bench target): tiny probe, no health verdict
         r = mod.main(n=512, iters=2, verbose=False)
-        r["healthy"] = None
         return r
     return mod.main(verbose=False)
 
 
-def main(batch_size: int = 64, warmup: int = 1) -> None:
+def main(batch_size: int = 64, warmup_rounds: int = 2) -> None:
     # persistent compile cache: repeated bench runs (the driver's included)
     # skip the multi-minute remote compile of the full pipeline
     try:
@@ -62,7 +84,7 @@ def main(batch_size: int = 64, warmup: int = 1) -> None:
     except Exception:
         pass
 
-    health = run_healthcheck()
+    probe = run_matmul_probe()
 
     cfg = Config()
     base = YOLOv5(first_out=cfg.first_out, nc=cfg.nc, dtype=jnp.bfloat16)
@@ -73,13 +95,6 @@ def main(batch_size: int = 64, warmup: int = 1) -> None:
                    fused=True)
     anchors = jnp.asarray(normalized_anchors())
 
-    # The headline pipeline as SEVERAL distinct jitted arm programs (NMS
-    # backend variants), parameters closed over — mirroring the structure of
-    # benchmarks/healthy_capture.py bench_arms, which is the ONLY measurement
-    # shape that has reliably reached the relay's fast lane (twice for twice;
-    # single-program loops never did across dozens of runs, sleeps or not).
-    # Every arm is the full fused pipeline, so any arm's segment is a valid
-    # headline sample; arms are interleaved per round.
     def make_arm(backend):
         @jax.jit
         def arm(x, acc):
@@ -95,13 +110,16 @@ def main(batch_size: int = 64, warmup: int = 1) -> None:
             return acc + valid.sum().astype(jnp.float32)
         return arm
 
+    # the shipped default backend resolves per platform (pallas on TPU);
+    # its arm is the HEADLINE arm. The others ride along both as lane
+    # carriers (multi-program shape) and as an A/B record.
+    default_backend = resolve_backend("auto", cfg.pre_nms_topk)
     backends = ["xla", "xla_loop"]
-    if jax.devices()[0].platform != "cpu":
-        backends.insert(0, "pallas")
+    if default_backend not in backends:
+        backends.insert(0, default_backend)
     arms = {b: make_arm(b) for b in backends}
 
-    # distinct device-resident batches: generated on device — host→device
-    # uploads of many 640² batches are slow over tunneled transports
+    # distinct device-resident batches, generated on device
     gen = jax.jit(lambda k: jax.random.uniform(
         k, (batch_size, 640, 640, 3), jnp.float32))
     xs = [gen(jax.random.PRNGKey(i)) for i in range(8)]
@@ -113,30 +131,14 @@ def main(batch_size: int = 64, warmup: int = 1) -> None:
         float(a)                         # compile + warm
         accs[name] = a
 
-    # The relay serves a process either a fast lane (~1290 img/s on this
-    # pipeline) or a degraded one (~40 img/s), per process, for long
-    # stretches (ROUND2_NOTES.md forensics). Sample interleaved arm rounds
-    # for the whole budget and report the BEST round — that is the chip's
-    # capability, which is what images/sec/chip means; lane assignment is
-    # environmental. Every round is individually honest (chained + final
-    # scalar fetch) and the full list is embedded so a capture is
-    # self-describing.
     seg_iters = 4
-    # default budget 1500s: fast-lane promotion takes ~15-20 min of sustained
-    # load; a shorter budget can expire before the chip ever shows its real
-    # capability. NO sleeps anywhere — continuous occupancy is part of the
-    # capture strategy (ROUND2_NOTES.md 2026-08-17 forensics).
-    max_seconds = float(os.environ.get("BENCH_MAX_SECONDS", "1500"))
+    max_seconds = float(os.environ.get("BENCH_MAX_SECONDS", "900"))
+    max_rounds = int(os.environ.get("BENCH_MAX_ROUNDS", "2000"))
     deadline = time.time() + max_seconds
-    segments = []          # best-arm img/s per interleaved round
-    n_fast = 0
-    # Per-arm accumulators threaded across ALL rounds: resetting would make
-    # later rounds byte-identical replays (same xs order, same acc
-    # trajectory), which a result-caching relay could serve without
-    # executing. Monotone acc ⇒ every call is unique.
+    per_arm = {b: [] for b in backends}   # img/s per measured round
     k = 0
-    while True:
-        round_best = 0.0
+    n_round = 0
+    while n_round < warmup_rounds + max_rounds:
         for name, arm in arms.items():
             acc = accs[name]
             t0 = time.perf_counter()
@@ -146,38 +148,46 @@ def main(batch_size: int = 64, warmup: int = 1) -> None:
             assert float(acc) >= 0.0  # scalar fetch: forces the chain
             dt = time.perf_counter() - t0
             accs[name] = acc
-            round_best = max(round_best, batch_size * seg_iters / dt)
-        segments.append(round_best)
-        if segments[-1] >= A100_TARGET_IMG_S:
-            n_fast += 1
-        if n_fast >= 3 or len(segments) >= 400 or time.time() > deadline:
+            if n_round >= warmup_rounds:   # fixed warmup, value-independent
+                per_arm[name].append(batch_size * seg_iters / dt)
+        n_round += 1
+        if time.time() > deadline:
             break
 
-    img_s = max(segments)
-    segs = sorted(segments)
+    default_rounds = per_arm[default_backend]
+    img_s = statistics.median(default_rounds)
+    fast_seen = any(r >= A100_TARGET_IMG_S for rs in per_arm.values()
+                    for r in rs)
     out = {
-        "metric": "640x640 images/sec/chip incl. NMS (bs=%d, bf16, fused postprocess)" % batch_size,
+        "metric": "640x640 images/sec/chip incl. NMS (bs=%d, bf16, fused "
+                  "postprocess, %s NMS backend)" % (batch_size,
+                                                    default_backend),
         "value": round(img_s, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_s / A100_TARGET_IMG_S, 3),
-        "healthy": health.get("healthy"),
-        "matmul_tflops": health.get("matmul_tflops"),
-        "device": health.get("device"),
-        "segments": [round(s, 1) for s in segments],
-        "median_segment": round(segs[len(segs) // 2], 2),
-        "note": "value = best interleaved-arm chained round (NMS-backend "
-                "arm programs of the same fused pipeline); the relay "
-                "assigns per-process fast/slow lanes — see "
-                "ROUND2_NOTES.md forensics",
+        "protocol": "median round of the default-backend arm over a fixed "
+                    "%ds budget, %d-round untimed warmup, no "
+                    "value-conditioned stopping" % (int(max_seconds),
+                                                    warmup_rounds),
+        "rounds_measured": len(default_rounds),
+        "max_round": round(max(default_rounds), 2) if default_rounds else None,
+        "p25_round": round(statistics.quantiles(default_rounds, n=4)[0], 2)
+        if len(default_rounds) >= 4 else None,
+        "per_arm_median": {b: round(statistics.median(r), 2)
+                           for b, r in per_arm.items() if r},
+        "relay_lane_observed": "fast" if fast_seen else "slow",
+        "single_program_lane_tflops": probe.get("matmul_tflops"),
+        "device": probe.get("device"),
+        "note": "the relay throttles single-program processes to ~2-4% of "
+                "chip speed per-process for long stretches; the matmul "
+                "probe is such a loop and reads the throttled lane. "
+                "relay_lane_observed says whether the interleaved pipeline "
+                "rounds reached the fast lane during this capture. See "
+                "ROUND2_NOTES.md forensics + BENCH_OBSERVATIONS.jsonl.",
     }
 
-    # Observation ledger: every bench run appends its result to
-    # BENCH_OBSERVATIONS.jsonl (committed periodically for provenance), and
-    # the best prior observation rides along in the output. The chip flaps on
-    # a minutes timescale, so any single run — including the official
-    # end-of-round capture — can land in a degraded window; the ledger keeps
-    # healthy-window captures from other runs of this same script visible and
-    # auditable. Clearly labeled: these are prior runs, not this one.
+    # Observation ledger: append-only forensic record of every run of this
+    # script on real hardware (committed periodically for provenance).
     ledger = os.path.join(_HERE, "BENCH_OBSERVATIONS.jsonl")
     if jax.devices()[0].platform != "cpu":
         try:
@@ -186,24 +196,15 @@ def main(batch_size: int = 64, warmup: int = 1) -> None:
                     "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
                     "value": out["value"],
                     "vs_baseline": out["vs_baseline"],
-                    "matmul_tflops": out["matmul_tflops"],
-                    "healthy": out["healthy"],
-                    "segments": out["segments"],
+                    "max_round": out["max_round"],
+                    "rounds": out["rounds_measured"],
+                    "lane": out["relay_lane_observed"],
+                    "single_program_lane_tflops":
+                        out["single_program_lane_tflops"],
+                    "per_arm_median": out["per_arm_median"],
                 }) + "\n")
         except OSError:
             pass
-    try:
-        with open(ledger) as f:
-            prior = [json.loads(line) for line in f if line.strip()]
-        if prior:
-            best = max(prior, key=lambda r: r.get("value", 0))
-            out["best_observed_prior_run"] = {
-                "ts": best.get("ts"), "value": best.get("value"),
-                "vs_baseline": best.get("vs_baseline"),
-                "n_runs_in_ledger": len(prior),
-            }
-    except (OSError, ValueError):
-        pass
 
     print(json.dumps(out))
 

@@ -93,6 +93,85 @@ def test_upgrade_opt_state_under_guard_nonfinite():
     assert isinstance(up_plain[3], optax.ScaleByScheduleState)
 
 
+def test_flat_optimizer_matches_per_leaf():
+    """The raveled flat-vector update path (cfg.flat_optimizer, default) is
+    numerically equivalent to the per-leaf path: clip_by_global_norm is a
+    global reduction either way; everything else is elementwise. Covers both
+    accumulate=1 and the accumulate=2 lax.cond path, params and EMA."""
+    from yolov5m_tpu.config import ANCHORS
+    from yolov5m_tpu.train import LossConfig, YoloLoss
+    from yolov5m_tpu.train.trainer import make_train_step
+
+    cfg = Config(first_out=8, nc=4, image_size=64)
+    model = YOLOv5(first_out=8, nc=4)
+    loss_fn = YoloLoss(LossConfig(nc=4, image_size=64),
+                       np.asarray(ANCHORS, np.float32))
+    opt = make_optimizer(cfg)
+
+    labels = np.zeros((2, 4, 5), np.float32)
+    labels[:, 0] = [1, 0.5, 0.5, 0.2, 0.3]
+    mask = np.zeros((2, 4), bool)
+    mask[:, 0] = True
+    rng = np.random.default_rng(0)
+    images = [jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32))
+              for _ in range(3)]
+
+    for accumulate in (1, 2):
+        states = {}
+        for flat in (True, False):
+            state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                                       (64, 64), opt, flat=flat)
+            step = jax.jit(make_train_step(model, loss_fn, opt,
+                                           accumulate=accumulate, flat=flat))
+            for img in images:
+                state, metrics = step(state, img, jnp.asarray(labels),
+                                      jnp.asarray(mask))
+            states[flat] = (state, float(metrics["loss"]))
+        (s_flat, l_flat), (s_tree, l_tree) = states[True], states[False]
+        np.testing.assert_allclose(l_flat, l_tree, rtol=1e-5)
+        # Adam's m/sqrt(v) is ill-conditioned for near-zero gradients, so
+        # reduction-order ulp noise (the flat path's single norm vs the
+        # per-leaf sum of squares) can flip a handful of tiny updates by a
+        # fraction of one lr step. Bound: <=0.01% of elements beyond 1e-5,
+        # none beyond 0.2*lr (1e-4).
+        for tree_a, tree_b in (((s_flat.params), (s_tree.params)),
+                               ((s_flat.ema_params), (s_tree.ema_params))):
+            diffs = np.concatenate(
+                [np.abs(np.asarray(a) - np.asarray(b)).ravel()
+                 for a, b in zip(jax.tree.leaves(tree_a),
+                                 jax.tree.leaves(tree_b))])
+            assert diffs.max() < 0.2 * cfg.learning_rate, diffs.max()
+            assert (diffs > 1e-5).mean() < 1e-4, (diffs > 1e-5).mean()
+
+
+def test_flat_optimizer_update_math_is_exactly_equivalent():
+    """Direct optimizer-level check with a FIXED gradient (no model, no
+    conditioning issues): one update through the chain applied flat vs
+    per-leaf differs only at float ulp level."""
+    import jax.flatten_util
+
+    cfg = Config()
+    opt = make_optimizer(cfg)
+    rng = np.random.default_rng(1)
+    params = {"w": jnp.asarray(rng.normal(0, 0.1, (64, 32)), jnp.float32),
+              "b": jnp.asarray(rng.normal(0, 0.1, (32,)), jnp.float32)}
+    grads = {"w": jnp.asarray(rng.normal(0, 1.0, (64, 32)), jnp.float32),
+             "b": jnp.asarray(rng.normal(0, 1.0, (32,)), jnp.float32)}
+
+    st_tree = opt.init(params)
+    up_tree, _ = opt.update(grads, st_tree, params)
+
+    flat_params, unravel = jax.flatten_util.ravel_pytree(params)
+    flat_grads = jax.flatten_util.ravel_pytree(grads)[0]
+    st_flat = opt.init(flat_params)
+    up_flat, _ = opt.update(flat_grads, st_flat, flat_params)
+    up_flat_tree = unravel(up_flat)
+
+    for a, b in zip(jax.tree.leaves(up_flat_tree), jax.tree.leaves(up_tree)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-9)
+
+
 def test_guard_nonfinite_skips_bad_updates():
     """cfg.guard_nonfinite: a NaN-producing batch must leave params and EMA
     untouched; a clean batch must still update them."""

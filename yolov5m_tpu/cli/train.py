@@ -89,6 +89,10 @@ def arg_parser():
     p.add_argument("--remat", action="store_true",
                    help="rematerialize C3 stacks in the backward pass "
                         "(trade FLOPs for HBM; enables l/x at 640 batches)")
+    p.add_argument("--no_flat_opt", action="store_true",
+                   help="run the optimizer per parameter leaf instead of on "
+                        "one raveled vector (slower; needed to resume "
+                        "checkpoints saved before the flat layout)")
     p.add_argument("--guard_nonfinite", action="store_true",
                    help="skip optimizer updates whose gradients are "
                         "NaN/inf instead of poisoning the params")
@@ -154,7 +158,8 @@ def main(opt):
                  iou_type=getattr(opt, "iou_type", "giou"),
                  guard_nonfinite=getattr(opt, "guard_nonfinite", False),
                  label_smoothing=getattr(opt, "label_smoothing", 0.0),
-                 focal_gamma=getattr(opt, "focal_gamma", 0.0))
+                 focal_gamma=getattr(opt, "focal_gamma", 0.0),
+                 flat_optimizer=not getattr(opt, "no_flat_opt", False))
 
     model = YOLOv5(first_out=cfg.first_out, nc=cfg.nc, dtype=jnp.bfloat16,
                    depth_mult=fam_dm, remat=getattr(opt, "remat", False))
@@ -285,12 +290,14 @@ def main(opt):
     if n_dev > 1:
         mesh = make_mesh(n_dev)
         step_fn = make_dp_train_step(model, loss_fn, optimizer, mesh,
-                                     accumulate, donate=True)
+                                     accumulate, donate=True,
+                                     flat=cfg.flat_optimizer)
         state = replicate_state(state, mesh)
         put = lambda b: shard_batch(b, mesh)  # noqa: E731
         print(f"==> data-parallel over {n_dev} devices")
     else:
-        step_fn = jax.jit(make_train_step(model, loss_fn, optimizer, accumulate),
+        step_fn = jax.jit(make_train_step(model, loss_fn, optimizer, accumulate,
+                                          flat=cfg.flat_optimizer),
                           donate_argnums=0)
         put = lambda b: {k: jnp.asarray(v) for k, v in b.items()}  # noqa: E731
 

@@ -88,6 +88,12 @@ class Config:
     warmup_steps: int = 0                # linear 0→lr over N optimizer steps
     lr_final: float = 0.01               # cosine floor as a fraction of lr
     guard_nonfinite: bool = False        # skip updates with non-finite grads
+    # Run clip/wd/Adam/EMA/accumulation over ONE raveled parameter vector
+    # instead of ~300 per-leaf kernels (the optimizer chain was the largest
+    # non-structural train-step term, ~7.5ms/step — see train/trainer.py).
+    # Changes the opt_state/accum checkpoint layout; --no_flat_opt restores
+    # the per-leaf layout (needed to resume pre-flat checkpoints).
+    flat_optimizer: bool = True
 
     @property
     def num_scales(self) -> int:

@@ -95,7 +95,7 @@ def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
 
 def make_dp_train_step(model, loss_fn, optimizer, mesh: Mesh,
                        accumulate: int = 1, axis: str = "data",
-                       donate: bool = False) -> Callable:
+                       donate: bool = False, flat: bool = True) -> Callable:
     """shard_mapped + jitted DP train step.
 
     The global batch must divide the mesh size. Losses/grads are psum-summed
@@ -108,7 +108,8 @@ def make_dp_train_step(model, loss_fn, optimizer, mesh: Mesh,
     allocating fresh HBM each step.
     """
     step_fn = make_train_step(model, loss_fn, optimizer,
-                              accumulate=accumulate, pmean_axis=axis)
+                              accumulate=accumulate, pmean_axis=axis,
+                              flat=flat)
 
     # check_vma=True (replication tracking) is REQUIRED for correct AD here:
     # without it the transpose of the loss's internal psums conservatively

@@ -23,6 +23,7 @@ from typing import Any, Callable, Optional, Sequence, Tuple
 
 import flax.struct
 import jax
+import jax.flatten_util
 import jax.numpy as jnp
 import optax
 
@@ -107,17 +108,31 @@ def upgrade_opt_state_to_schedule(opt_state):
 
 
 def create_train_state(model, cfg: Config, rng, input_hw: Tuple[int, int],
-                       optimizer: Optional[optax.GradientTransformation] = None
-                       ) -> TrainState:
+                       optimizer: Optional[optax.GradientTransformation] = None,
+                       flat: Optional[bool] = None) -> TrainState:
+    """flat (default cfg.flat_optimizer): hold opt_state and accum_grads on
+    ONE raveled parameter vector — the train step then runs the whole
+    update chain (clip/wd/Adam/lr/accum/EMA/param-add) as a handful of
+    fused kernels over that vector instead of ~300 per-leaf kernels
+    (measured ~7.5ms/step of per-leaf overhead, ROUND2_NOTES.md train
+    decomposition). Must match the `flat` passed to make_train_step."""
     variables = model.init(rng, jnp.zeros((1, *input_hw, 3), jnp.float32))
     optimizer = optimizer or make_optimizer(cfg)
     params = variables["params"]
+    flat = cfg.flat_optimizer if flat is None else flat
+    if flat:
+        flat_params, _ = jax.flatten_util.ravel_pytree(params)
+        opt_state = optimizer.init(flat_params)
+        accum = jnp.zeros_like(flat_params)
+    else:
+        opt_state = optimizer.init(params)
+        accum = jax.tree.map(jnp.zeros_like, params)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         batch_stats=variables["batch_stats"],
-        opt_state=optimizer.init(params),
-        accum_grads=jax.tree.map(jnp.zeros_like, params),
+        opt_state=opt_state,
+        accum_grads=accum,
         # materialized copy, NOT an alias of params: a donated train step
         # (jit(..., donate_argnums=0)) must not see the same buffer twice
         ema_params=jax.tree.map(lambda x: x.copy(), params),
@@ -135,6 +150,7 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     accumulate: int = 1,
     pmean_axis: Optional[str] = None,
+    flat: bool = True,
 ) -> Callable:
     """Build the train-step function (jit it, or shard_map it for DP).
 
@@ -143,6 +159,12 @@ def make_train_step(
         training_utils.py:89).
       pmean_axis: if set, grads are psum-reduced and batch_stats pmean-reduced
         over this mesh axis (the DP path; see parallel/dp.py).
+      flat: run the whole optimizer/EMA/accumulation update in raveled
+        flat-vector space (one concat + a few fused elementwise kernels +
+        one unravel, instead of ~300 per-leaf kernels). Numerically
+        equivalent — clip_by_global_norm is already a global reduction, and
+        every other chain member is elementwise. Must match the layout
+        create_train_state built (cfg.flat_optimizer).
     """
 
     if pmean_axis is not None and loss_fn.axis_name != pmean_axis:
@@ -171,7 +193,40 @@ def make_train_step(
 
         step = state.step + 1
 
-        if accumulate == 1:
+        if flat:
+            flat_grads, unravel = jax.flatten_util.ravel_pytree(grads)
+            flat_params = jax.flatten_util.ravel_pytree(state.params)[0]
+            ema_flat = jax.flatten_util.ravel_pytree(state.ema_params)[0]
+            gnorm = jnp.linalg.norm(flat_grads)
+
+            if accumulate == 1:
+                updates, new_opt = optimizer.update(
+                    flat_grads, state.opt_state, flat_params)
+                new_flat = flat_params + updates
+                d = _ema_decay(step)
+                new_ema_flat = ema_flat * d + new_flat * (1.0 - d)
+                new_accum = state.accum_grads
+            else:
+                accum = state.accum_grads + flat_grads
+                do_update = (step % accumulate) == 0
+
+                def apply_update(_):
+                    updates, new_opt = optimizer.update(
+                        accum, state.opt_state, flat_params)
+                    new_flat = flat_params + updates
+                    d = _ema_decay(step // accumulate)
+                    return (new_flat, new_opt, jnp.zeros_like(accum),
+                            ema_flat * d + new_flat * (1.0 - d))
+
+                def keep(_):
+                    return flat_params, state.opt_state, accum, ema_flat
+
+                new_flat, new_opt, new_accum, new_ema_flat = jax.lax.cond(
+                    do_update, apply_update, keep, None)
+
+            new_params = unravel(new_flat)
+            new_ema = unravel(new_ema_flat)
+        elif accumulate == 1:
             # static specialization: every micro-batch is an optimizer step,
             # so skip the accumulation buffer (two full param-tree passes)
             # and the lax.cond entirely
@@ -183,6 +238,7 @@ def make_train_step(
                 lambda e, p: e * d + p * (1.0 - d), state.ema_params,
                 new_params)
             new_accum = state.accum_grads
+            gnorm = optax.global_norm(grads)
         else:
             accum = jax.tree.map(jnp.add, state.accum_grads, grads)
             do_update = (step % accumulate) == 0
@@ -203,12 +259,12 @@ def make_train_step(
 
             new_params, new_opt, new_accum, new_ema = jax.lax.cond(
                 do_update, apply_update, keep, None)
+            gnorm = optax.global_norm(grads)
 
         new_state = state.replace(
             step=step, params=new_params, batch_stats=new_stats,
             opt_state=new_opt, accum_grads=new_accum, ema_params=new_ema)
 
-        gnorm = optax.global_norm(grads)
         metrics = {"loss": total, "grad_norm": gnorm, **parts}
         return new_state, metrics
 
