@@ -34,9 +34,18 @@ def _batches(n, rng):
             for _ in range(n)]
 
 
-def test_quantized_model_tracks_fused_model(rng):
+import pytest
+
+
+@pytest.mark.parametrize("chain", [True, False])
+def test_quantized_model_tracks_fused_model(rng, chain):
+    """Both int8 schemes (activation chain = default; per-block = legacy)
+    track the fused bf16/f32 model on head logits. The chain scheme
+    additionally quantizes residual sums and requantizes in-epilogue, so it
+    gets the same 2% budget."""
     model, v = _model_and_vars()
-    qmodel, qvars = quantize_int8(model, v, _batches(2, rng))
+    qmodel, qvars = quantize_int8(model, v, _batches(2, rng), chain=chain)
+    assert getattr(qmodel, "quant_chain", False) == chain
     x = jnp.asarray(rng.uniform(0, 1, (2, HW, HW, 3)), jnp.float32)
 
     ref = model.clone(fused=True).apply(fold_batchnorm(v), x, train=False)
@@ -46,6 +55,23 @@ def test_quantized_model_tracks_fused_model(rng):
         q = np.asarray(q, np.float32)
         rel = np.sqrt(np.mean((r - q) ** 2)) / np.sqrt(np.mean(r ** 2))
         assert rel < 0.02, f"int8 deviates {rel:.4f} from fused model"
+
+
+def test_chain_param_tree_has_output_scales(rng):
+    """Chain params carry s_out per CBL and s_res per Bottleneck, and the
+    chain module's own init reproduces the exact same tree structure."""
+    model, v = _model_and_vars()
+    qmodel, qvars = quantize_int8(model, v, _batches(1, rng), chain=True)
+    flat = traverse_util.flatten_dict(qvars["params"])
+    n_out = sum(1 for p in flat if p[-1] == "s_out")
+    n_res = sum(1 for p in flat if p[-1] == "s_res")
+    assert n_out > 30 and n_res >= 4          # every CBL / every Bottleneck
+    for p, leaf in flat.items():
+        if p[-1] in ("s_out", "s_res", "s_in"):
+            assert float(leaf) > 0
+    tmpl = qmodel.init(jax.random.PRNGKey(0), jnp.zeros((1, HW, HW, 3)))
+    assert (set(traverse_util.flatten_dict(tmpl["params"]).keys())
+            == set(flat.keys()))
 
 
 def test_quant_param_tree_structure(rng):

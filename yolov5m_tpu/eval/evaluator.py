@@ -115,11 +115,29 @@ class Evaluator:
         image_id = 0
         mapm = MeanAveragePrecision()
         counts = np.zeros(4)
-        for batch in loader:
-            h, w = batch["image"].shape[1:3]
-            det, det_valid, c = self._eval_batch(
+
+        # Software pipeline (depth 1): JAX dispatch is asynchronous, so the
+        # device evaluates batch i+1 while the host runs the greedy matcher
+        # over batch i's results (~7ms/image host-side — serialized, it
+        # roughly doubled eval wall time). np.asarray() below is the sync
+        # point for the PREVIOUS batch's device work.
+        def start(batch):
+            return batch, self._eval_batch(
                 variables, jnp.asarray(batch["image"]),
                 jnp.asarray(batch["labels"]), jnp.asarray(batch["mask"]))
+
+        it = iter(loader)
+        try:
+            pending = start(next(it))
+        except StopIteration:
+            pending = None
+        while pending is not None:
+            batch, (det, det_valid, c) = pending
+            try:
+                pending = start(next(it))       # dispatch next before syncing
+            except StopIteration:
+                pending = None
+            h, w = batch["image"].shape[1:3]
             counts += np.asarray(c)
             det = np.asarray(det)
             det_valid = np.asarray(det_valid)

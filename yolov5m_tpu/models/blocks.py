@@ -26,6 +26,26 @@ BN_MOMENTUM = 0.97
 BN_EPS = 1e-3
 
 
+def _quantize_act(x_f32, scale):
+    """float → symmetric int8 against a per-tensor scale."""
+    return jnp.clip(jnp.round(x_f32 / scale), -127, 127).astype(jnp.int8)
+
+
+def _deq(part, dtype=jnp.float32):
+    """(q int8, s scalar) → float array."""
+    q, s = part
+    return q.astype(jnp.float32) * s if dtype == jnp.float32 \
+        else (q.astype(jnp.float32) * s).astype(dtype)
+
+
+def _maxpool_int8(q, window=5, pad=2):
+    """5x5/s1 max pool directly on int8 (max is monotone, so pooling the
+    quantized values is exact; the -128 pad never wins a max)."""
+    return jax.lax.reduce_window(
+        q, jnp.int8(-128), jax.lax.max, (1, window, window, 1), (1, 1, 1, 1),
+        ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+
+
 class CBL(nn.Module):
     """Conv + BatchNorm + SiLU (reference model.py:12-28).
 
@@ -40,8 +60,18 @@ class CBL(nn.Module):
     per-tensor against a calibrated scale (models/quantize.py), weights
     per-output-channel symmetric. Dequantize + bias + SiLU fuse into the
     conv epilogue; activations between blocks stay in compute dtype.
-    calibrate: sow per-call input absmax under "intermediates" for PTQ
-    calibration runs.
+
+    chain (requires quant): int8 ACTIVATION chain — inputs arrive already
+    quantized as (q int8, s scale) parts and the epilogue requantizes the
+    SiLU output straight to int8 against the calibrated output scale
+    (s_out), so activations never round-trip through bf16 between blocks
+    (the round-trip made per-block int8 a net loss end-to-end: the
+    quant/dequant elementwise traffic outweighed the MXU win). Concats are
+    realized EXACTLY as split convolutions: a list input convolves each
+    part against the matching input-channel slice of the kernel and sums
+    the partial products in f32 — no concat-rescale quantization loss.
+    calibrate: sow per-call input AND output absmax under "intermediates"
+    for PTQ calibration runs.
     """
 
     out_ch: int
@@ -53,16 +83,19 @@ class CBL(nn.Module):
     fused: bool = False   # inference with BN folded into conv (models/fuse.py)
     quant: bool = False   # int8 PTQ path (models/quantize.py)
     calibrate: bool = False
+    chain: bool = False   # int8 activation chain (see docstring)
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        if self.calibrate:
+    def __call__(self, x, train: bool = False, emit_float: bool = False):
+        if self.calibrate and not self.quant:
             self.sow("intermediates", "in_absmax",
                      jnp.max(jnp.abs(x.astype(jnp.float32))),
                      init_fn=lambda: jnp.float32(0),
                      reduce_fn=jnp.maximum)
         if self.quant:
             assert self.fused, "int8 PTQ runs on the BN-folded model"
+            if self.chain:
+                return self._quant_chain_forward(x, emit_float)
             return self._quant_forward(x)
         x = nn.Conv(
             self.out_ch,
@@ -82,7 +115,21 @@ class CBL(nn.Module):
                 axis_name=self.bn_axis if train else None,
                 name="bn",
             )(x)
-        return nn.silu(x.astype(self.dtype))
+        out = nn.silu(x.astype(self.dtype))
+        if self.calibrate:
+            self.sow("intermediates", "out_absmax",
+                     jnp.max(jnp.abs(out.astype(jnp.float32))),
+                     init_fn=lambda: jnp.float32(0),
+                     reduce_fn=jnp.maximum)
+        return out
+
+    def _conv_int8(self, xq, w_q):
+        dn = jax.lax.conv_dimension_numbers(
+            xq.shape, w_q.shape, ("NHWC", "HWIO", "NHWC"))
+        return jax.lax.conv_general_dilated(
+            xq, w_q, (self.stride, self.stride),
+            ((self.pad, self.pad), (self.pad, self.pad)),
+            dimension_numbers=dn, preferred_element_type=jnp.int32)
 
     def _quant_forward(self, x):
         in_ch = x.shape[-1]
@@ -95,16 +142,46 @@ class CBL(nn.Module):
                           (self.out_ch,), jnp.float32)
         s_in = self.param("s_in", nn.initializers.ones, (), jnp.float32)
 
-        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_in),
-                      -127, 127).astype(jnp.int8)
-        dn = jax.lax.conv_dimension_numbers(
-            xq.shape, w_q.shape, ("NHWC", "HWIO", "NHWC"))
-        y = jax.lax.conv_general_dilated(
-            xq, w_q, (self.stride, self.stride),
-            ((self.pad, self.pad), (self.pad, self.pad)),
-            dimension_numbers=dn, preferred_element_type=jnp.int32)
+        xq = _quantize_act(x.astype(jnp.float32), s_in)
+        y = self._conv_int8(xq, w_q)
         y = y.astype(jnp.float32) * (s_in * s_w) + bias
         return nn.silu(y).astype(self.dtype)
+
+    def _quant_chain_forward(self, x, emit_float: bool):
+        """x: float array | (q, s) | list of (q, s) parts (a concat realized
+        as split convolution). Returns (q, s_out) or, with emit_float, the
+        f32 pre-quantization activation (for residual adds)."""
+        parts = x if isinstance(x, list) else [x]
+        in_ch = sum(p.shape[-1] if not isinstance(p, tuple) else
+                    p[0].shape[-1] for p in parts)
+        k = self.kernel
+        w_q = self.param("w_q", nn.initializers.zeros,
+                         (k, k, in_ch, self.out_ch), jnp.int8)
+        s_w = self.param("s_w", nn.initializers.ones,
+                         (self.out_ch,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.out_ch,), jnp.float32)
+        s_in = self.param("s_in", nn.initializers.ones, (), jnp.float32)
+        s_out = self.param("s_out", nn.initializers.ones, (), jnp.float32)
+
+        y = None
+        off = 0
+        for p in parts:
+            if isinstance(p, tuple):
+                q, s = p
+            else:  # float entry (the stem): quantize against calibrated s_in
+                s = s_in
+                q = _quantize_act(p.astype(jnp.float32), s)
+            c = q.shape[-1]
+            w_part = jax.lax.slice_in_dim(w_q, off, off + c, axis=2)
+            acc = self._conv_int8(q, w_part)
+            contrib = acc.astype(jnp.float32) * (s * s_w)
+            y = contrib if y is None else y + contrib
+            off += c
+        y = nn.silu(y + bias)
+        if emit_float:
+            return y
+        return _quantize_act(y, s_out), s_out
 
 
 class Bottleneck(nn.Module):
@@ -117,15 +194,33 @@ class Bottleneck(nn.Module):
     fused: bool = False
     quant: bool = False
     calibrate: bool = False
+    chain: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        c_ = int(self.width * x.shape[-1])
+        in_ch = x[0].shape[-1] if isinstance(x, tuple) else x.shape[-1]
+        c_ = int(self.width * in_ch)
         args = (self.dtype, self.bn_axis, self.fused, self.quant,
-                self.calibrate)
+                self.calibrate, self.chain)
+        if self.chain and self.quant:
+            # residual add in f32 (c2 defers quantization), then ONE
+            # requantization against the calibrated post-sum scale
+            s_res = self.param("s_res", nn.initializers.ones, (),
+                               jnp.float32)
+            y = CBL(c_, 1, 1, 0, *args, name="c1")(x, train)
+            y = CBL(self.out_ch, 3, 1, 1, *args, name="c2")(
+                y, train, emit_float=True)
+            y = y + _deq(x)
+            return _quantize_act(y, s_res), s_res
         y = CBL(c_, 1, 1, 0, *args, name="c1")(x, train)
         y = CBL(self.out_ch, 3, 1, 1, *args, name="c2")(y, train)
-        return y + x
+        out = y + x
+        if self.calibrate and not self.quant:
+            self.sow("intermediates", "res_absmax",
+                     jnp.max(jnp.abs(out.astype(jnp.float32))),
+                     init_fn=lambda: jnp.float32(0),
+                     reduce_fn=jnp.maximum)
+        return out
 
 
 class C3(nn.Module):
@@ -146,12 +241,19 @@ class C3(nn.Module):
     fused: bool = False
     quant: bool = False
     calibrate: bool = False
+    chain: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        c_ = int(self.width * x.shape[-1])
+        if isinstance(x, list):        # chain mode: concat parts arrive raw
+            in_ch = sum(p[0].shape[-1] for p in x)
+        elif isinstance(x, tuple):
+            in_ch = x[0].shape[-1]
+        else:
+            in_ch = x.shape[-1]
+        c_ = int(self.width * in_ch)
         args = (self.dtype, self.bn_axis, self.fused, self.quant,
-                self.calibrate)
+                self.calibrate, self.chain)
         y = CBL(c_, 1, 1, 0, *args, name="c1")(x, train)
         for j in range(self.depth):
             if self.backbone:
@@ -160,6 +262,10 @@ class C3(nn.Module):
                 y = CBL(c_, 1, 1, 0, *args, name=f"seq{j}_a")(y, train)
                 y = CBL(c_, 3, 1, 1, *args, name=f"seq{j}_b")(y, train)
         skip = CBL(c_, 1, 1, 0, *args, name="c_skipped")(x, train)
+        if self.chain and self.quant:
+            # concat as split convolution in c_out — exact, no rescale
+            return CBL(self.out_ch, 1, 1, 0, *args, name="c_out")(
+                [y, skip], train)
         out = jnp.concatenate([y, skip], axis=-1)
         return CBL(self.out_ch, 1, 1, 0, *args, name="c_out")(out, train)
 
@@ -173,13 +279,25 @@ class SPPF(nn.Module):
     fused: bool = False
     quant: bool = False
     calibrate: bool = False
+    chain: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        c_ = x.shape[-1] // 2
+        in_ch = x[0].shape[-1] if isinstance(x, tuple) else x.shape[-1]
+        c_ = in_ch // 2
         args = (self.dtype, self.bn_axis, self.fused, self.quant,
-                self.calibrate)
+                self.calibrate, self.chain)
         x = CBL(c_, 1, 1, 0, *args, name="c1")(x, train)
+        if self.chain and self.quant:
+            # max is monotone → pooling the int8 codes is exact at the same
+            # scale; the 4-way concat feeds c_out as a split convolution
+            q, s = x
+            p1 = _maxpool_int8(q)
+            p2 = _maxpool_int8(p1)
+            p3 = _maxpool_int8(p2)
+            parts = [(q, s), (p1, s), (p2, s), (p3, s)]
+            return CBL(self.out_ch, 1, 1, 0, *args, name="c_out")(
+                parts, train)
         p1 = nn.max_pool(x, (5, 5), strides=(1, 1), padding=((2, 2), (2, 2)))
         p2 = nn.max_pool(p1, (5, 5), strides=(1, 1), padding=((2, 2), (2, 2)))
         p3 = nn.max_pool(p2, (5, 5), strides=(1, 1), padding=((2, 2), (2, 2)))

@@ -85,18 +85,64 @@ def quantize_fused_params(fused_variables,
     return traverse_util.unflatten_dict(q)
 
 
-def quantize_int8(model, variables, calib_batches: Iterable):
+def quantize_chain_params(fused_variables,
+                          absmax: Dict[Tuple[str, ...], float]) -> dict:
+    """fused params + calibration → int8 ACTIVATION-CHAIN params
+    (blocks.CBL.chain): per-CBL {w_q, s_w, bias, s_in, s_out} where s_out is
+    the calibrated OUTPUT scale the epilogue requantizes to, plus per-
+    Bottleneck {s_res} for the post-residual-sum scale. Head convs copy
+    through unquantized (first/last-layer precision guard)."""
+    params = traverse_util.flatten_dict(fused_variables["params"])
+    q = {}
+    for path, value in params.items():
+        if path[-2:] == ("conv", "kernel") and path[0] != "head":
+            parent = path[:-2]
+            w = np.asarray(value, np.float32)                    # HWIO
+            s_w = np.max(np.abs(w), axis=(0, 1, 2)) / 127.0
+            s_w = np.maximum(s_w, 1e-12).astype(np.float32)
+            q[parent + ("w_q",)] = np.clip(
+                np.round(w / s_w), -127, 127).astype(np.int8)
+            q[parent + ("s_w",)] = s_w
+            q[parent + ("bias",)] = np.asarray(
+                params[parent + ("conv", "bias")], np.float32)
+            am_in = absmax.get(parent + ("in_absmax",))
+            am_out = absmax.get(parent + ("out_absmax",))
+            assert am_in is not None and am_out is not None, \
+                f"missing calibration absmax for {parent}"
+            q[parent + ("s_in",)] = np.float32(max(am_in, 1e-12) / 127.0)
+            q[parent + ("s_out",)] = np.float32(max(am_out, 1e-12) / 127.0)
+        elif path[-2] == "conv" and path[0] != "head":
+            continue                                             # bias: folded above
+        else:
+            q[path] = value                                      # head convs
+    for path, am in absmax.items():
+        if path[-1] == "res_absmax":
+            q[path[:-1] + ("s_res",)] = np.float32(max(am, 1e-12) / 127.0)
+    return traverse_util.unflatten_dict(q)
+
+
+def quantize_int8(model, variables, calib_batches: Iterable,
+                  chain: bool = True):
     """One-call PTQ: (train-style or fused variables) → (quant model, vars).
 
     model: the YOLOv5 module the variables belong to (fused or not).
     variables: {"params", "batch_stats"} (BN folded here) or fused {"params"}.
     calib_batches: iterable of (bs, H, W, 3) image arrays in model input
     domain (post-normalization, i.e. /255 like training/serving inputs).
+    chain (default): int8 activation chain — activations stay int8 between
+    CBLs with one requantization per tensor in the conv epilogue; concats
+    run as exact split convolutions (blocks.CBL docstring). chain=False is
+    the per-block scheme (bf16 between blocks; measured a net LOSS
+    end-to-end — kept for A/B).
     """
     fused_model = model if getattr(model, "fused", False) \
         else model.clone(fused=True)
     fused_vars = fold_batchnorm(variables) if "batch_stats" in variables \
         else variables
     absmax = collect_calibration_absmax(fused_model, fused_vars, calib_batches)
+    if chain:
+        qparams = quantize_chain_params(fused_vars, absmax)
+        return (fused_model.clone(quant=True, quant_chain=True),
+                {"params": qparams})
     qparams = quantize_fused_params(fused_vars, absmax)
     return fused_model.clone(quant=True), {"params": qparams}

@@ -83,12 +83,13 @@ class YOLOv5(nn.Module):
     stem_s2d: bool = False          # space-to-depth stem rewrite (models/s2d.py)
     depth_mult: float = 0.67        # C3 stack scaling (YOLOv5 family law)
     quant: bool = False             # int8 PTQ inference (models/quantize.py)
-    calibrate: bool = False         # sow per-CBL input absmax for calibration
+    quant_chain: bool = False       # int8 ACTIVATION chain (blocks.CBL.chain)
+    calibrate: bool = False         # sow per-CBL in/out absmax for calibration
     remat: bool = False             # rematerialize C3 stacks under grad
 
     def setup(self):
         fo, dt, ax = self.first_out, self.dtype, self.bn_axis
-        fu = (self.fused, self.quant, self.calibrate)
+        fu = (self.fused, self.quant, self.calibrate, self.quant_chain)
         # remat: wrap the C3 stacks (the activation-heaviest blocks) in
         # jax.checkpoint so their internals recompute in the backward pass
         # instead of living in HBM across it — the standard TPU trade of
@@ -139,6 +140,9 @@ class YOLOv5(nn.Module):
             from yolov5m_tpu.models.s2d import space_to_depth2
             x = space_to_depth2(x)
 
+        if self.quant_chain and self.quant:
+            return self._forward_chain(x)
+
         taps = []
         for idx, layer in enumerate(self.backbone):
             x = layer(x, train)
@@ -162,6 +166,38 @@ class YOLOv5(nn.Module):
                     feats.append(x)
 
         return self.head(feats)
+
+    def _forward_chain(self, x):
+        """int8-activation-chain inference graph: activations flow between
+        blocks as (q int8, scale) pairs; concatenations stay UNMATERIALIZED
+        as part lists (consumed by split convolutions, blocks.CBL.chain);
+        nearest-2x upsample repeats the int8 codes; the only float
+        activations are the three head inputs (dequantized once)."""
+        from yolov5m_tpu.models.blocks import _deq
+
+        taps = []
+        for idx, layer in enumerate(self.backbone):
+            x = layer(x, False)
+            if idx in (4, 6):
+                taps.append(x)
+
+        feats = []
+        stash = []
+        for idx, layer in enumerate(self.neck):
+            if idx in (0, 2):
+                x = layer(x, False)
+                stash.append(x)
+                q, s = x
+                x = [(upsample2x_nearest(q), s), taps.pop()]
+            elif idx in (4, 6):
+                x = layer(x, False)
+                x = [x, stash.pop()]
+            else:
+                x = layer(x, False)
+                if idx > 2:
+                    feats.append(x)
+
+        return self.head([_deq(f, self.dtype) for f in feats])
 
 
 def create_model(cfg: Config):
