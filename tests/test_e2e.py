@@ -128,3 +128,15 @@ def test_train_cli_mosaic_hsv_multiscale(dataset_root, tmp_path, monkeypatch):
     opt.multi_scale = "64,96"
     monkeypatch.chdir(tmp_path)
     main(opt)  # completes without error; loss finite is asserted inside step
+
+
+def test_train_cli_device_mosaic(dataset_root, tmp_path, monkeypatch):
+    """--device_mosaic: mosaic-4 runs on device as XLA preprocessing."""
+    from yolov5m_tpu.cli.train import main
+
+    opt = _opt(dataset_root, nosaveimgs=True, nosavemodel=True,
+               nosavelogs=True, filename="dm_run")
+    opt.mosaic = 1.0
+    opt.device_mosaic = True
+    monkeypatch.chdir(tmp_path)
+    main(opt)

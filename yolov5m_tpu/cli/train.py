@@ -57,6 +57,10 @@ def arg_parser():
                         "config; the reference has none)")
     p.add_argument("--hsv", action="store_true",
                    help="random HSV gains augmentation")
+    p.add_argument("--device_mosaic", action="store_true",
+                   help="run mosaic-4 on device as XLA preprocessing "
+                        "(ops/mosaic.py; host-parity tested) instead of in "
+                        "the host loader; partners sample from the batch")
     p.add_argument("--multi_scale", type=str, default="auto",
                    help="comma-separated multi-scale sizes (e.g. 512,576,640);"
                         " static jit buckets replacing the reference's random"
@@ -194,11 +198,13 @@ def main(opt):
             ms_sizes = [int(s) for s in ms_opt.split(",")]
     if ms_sizes:
         print(f"==> multi-scale buckets: {ms_sizes}")
+    device_mosaic = getattr(opt, "device_mosaic", False)
     train_loader, val_loader = get_loaders(
         root, opt.bs, rect_training=opt.rect, box_format=opt.box_format,
         max_boxes=opt.max_boxes, default_size=opt.image_size,
         multi_scale_sizes=ms_sizes, num_workers=opt.nw,
-        mosaic_p=getattr(opt, "mosaic", 0.0), hsv=getattr(opt, "hsv", False))
+        mosaic_p=0.0 if device_mosaic else getattr(opt, "mosaic", 0.0),
+        hsv=getattr(opt, "hsv", False))
 
     # run naming + resume epoch resolved BEFORE the optimizer: the restored
     # schedule count is (last * opt_steps_per_epoch), so a cosine horizon
@@ -317,6 +323,15 @@ def main(opt):
             chunk = []
             for idx, batch in enumerate(train_loader):
                 b = put(batch)
+                if device_mosaic and getattr(opt, "mosaic", 0.0) > 0 \
+                        and b["image"].shape[1] == b["image"].shape[2]:
+                    from yolov5m_tpu.ops.mosaic import random_mosaic_batch
+                    mkey = jax.random.fold_in(
+                        jax.random.PRNGKey(0), epoch * 100000 + idx)
+                    img, lab, msk = random_mosaic_batch(
+                        mkey, b["image"], b["labels"], b["mask"],
+                        p=opt.mosaic)
+                    b = {**b, "image": img, "labels": lab, "mask": msk}
                 state, metrics = step_fn(state, b["image"], b["labels"], b["mask"])
                 chunk.append(metrics["loss"])
                 nb += 1
