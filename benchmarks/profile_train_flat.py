@@ -41,7 +41,11 @@ def main(rounds: int = 8, iters: int = 4):
 
     arms = {}       # name -> (step_fn, state, batches)
     rng = np.random.default_rng(0)
-    for bs, flat in ((16, True), (32, True), (32, False), (64, True)):
+    # NOTE: all arms hold their TrainState + activations live at once
+    # (interleaving is required by the relay lane rule); a 4th bs=64 arm
+    # OOMs the 16GB HBM next to these three.
+    arm_specs = ((16, True), (32, True), (32, False))
+    for bs, flat in arm_specs:
         name = f"bs{bs}_{'flat' if flat else 'tree'}"
         accumulate = accumulation_steps(bs, cfg.nominal_batch_size)
         opt = make_optimizer(cfg)

@@ -1,0 +1,113 @@
+"""Train-step scale probe: larger batches + scan-chained micro-steps.
+
+Round-3 facts this probe acts on (benchmarks/profile_train_flat.py):
+bs32 ≈ 318 img/s (tree optimizer), flat optimizer is a ~3% loss, and the
+per-call dispatch cost is ~4.1ms (profile_dispatch.py). The two remaining
+levers toward the 450 img/s goal are (a) batch size — fwd/bwd per-image
+cost usually falls toward bs=64 — and (b) chaining K train steps inside
+one jit via lax.scan (one dispatch per K steps, the inference bench's
+winning shape, with the loader prefetching K batches).
+
+Arms (all tree layout, donated, custom loss):
+  bs32        — plain step, accumulate=2 (the earlier baseline)
+  bs64        — plain step, accumulate=1
+  bs32_scan2  — 2 chained micro-steps per call, accumulate=2
+Interleaved rounds (relay lane rule, CLAUDE.md).
+"""
+
+import os
+import statistics
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolov5m_tpu.config import ANCHORS, Config
+from yolov5m_tpu.models import YOLOv5
+from yolov5m_tpu.train import LossConfig, YoloLoss
+from yolov5m_tpu.train.trainer import (
+    accumulation_steps, create_train_state, make_optimizer, make_train_step)
+
+_HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _labels(bs):
+    labels = np.zeros((bs, 8, 5), np.float32)
+    labels[:, 0] = [1, 0.5, 0.5, 0.2, 0.3]
+    labels[:, 1] = [2, 0.3, 0.7, 0.1, 0.15]
+    mask = np.zeros((bs, 8), bool)
+    mask[:, :2] = True
+    return jnp.asarray(labels), jnp.asarray(mask)
+
+
+def main(rounds: int = 8, iters: int = 4):
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(_HERE, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    cfg = Config()
+    model = YOLOv5(first_out=cfg.first_out, nc=cfg.nc, dtype=jnp.bfloat16)
+    loss_fn = YoloLoss(LossConfig.from_config(cfg),
+                       np.asarray(ANCHORS, np.float32), kind="custom")
+
+    arms = {}   # name -> [call, state, xs, labels, mask, imgs_per_call]
+    for name, bs, scan_k in (("bs32", 32, 1), ("bs64", 64, 1),
+                             ("bs32_scan2", 32, 2)):
+        accumulate = accumulation_steps(bs, cfg.nominal_batch_size)
+        opt = make_optimizer(cfg)
+        state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                                   (640, 640), opt, flat=False)
+        step = make_train_step(model, loss_fn, opt, accumulate, flat=False)
+        labels, mask = _labels(bs)
+
+        if scan_k == 1:
+            call = jax.jit(step, donate_argnums=0)
+        else:
+            def chained(state, xs, labels, mask, _step=step, _k=scan_k):
+                def body(st, x):
+                    st, m = _step(st, x, labels, mask)
+                    return st, m["loss"]
+                st, losses = jax.lax.scan(body, state, xs)
+                return st, {"loss": losses[-1]}
+            call = jax.jit(chained, donate_argnums=0)
+
+        shape = (bs, 640, 640, 3) if scan_k == 1 else (scan_k, bs, 640, 640, 3)
+        gen = jax.jit(lambda k, s=shape: jax.random.uniform(k, s, jnp.float32))
+        xs = [jax.block_until_ready(gen(jax.random.PRNGKey(11 * bs + i)))
+              for i in range(3)]
+        arms[name] = [call, state, xs, labels, mask, bs * scan_k]
+
+    for name, arm in arms.items():
+        t0 = time.time()
+        arm[1], m = arm[0](arm[1], arm[2][0], arm[3], arm[4])
+        assert np.isfinite(float(m["loss"]))
+        print(f"{name}: compiled+first in {time.time()-t0:.1f}s")
+
+    results = {name: [] for name in arms}
+    k = 0
+    for r in range(rounds):
+        for name, arm in arms.items():
+            call, state, xs = arm[0], arm[1], arm[2]
+            t0 = time.perf_counter()
+            for i in range(iters):
+                state, m = call(state, xs[(k + i) % len(xs)], arm[3], arm[4])
+            assert np.isfinite(float(m["loss"]))
+            dt = time.perf_counter() - t0
+            arm[1] = state
+            k += iters
+            results[name].append(arm[5] * iters / dt)
+        print(f"round {r}: " + "  ".join(
+            f"{n}={results[n][-1]:.0f}" for n in results))
+
+    print("\n== median img/s ==")
+    for name, vals in results.items():
+        print(f"{name}: median {statistics.median(vals):.1f} img/s, "
+              f"best {max(vals):.1f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -94,7 +94,7 @@ def test_upgrade_opt_state_under_guard_nonfinite():
 
 
 def test_flat_optimizer_matches_per_leaf():
-    """The raveled flat-vector update path (cfg.flat_optimizer, default) is
+    """The raveled flat-vector update path (cfg.flat_optimizer, opt-in) is
     numerically equivalent to the per-leaf path: clip_by_global_norm is a
     global reduction either way; everything else is elementwise. Covers both
     accumulate=1 and the accumulate=2 lax.cond path, params and EMA."""

@@ -93,10 +93,13 @@ def arg_parser():
     p.add_argument("--remat", action="store_true",
                    help="rematerialize C3 stacks in the backward pass "
                         "(trade FLOPs for HBM; enables l/x at 640 batches)")
+    p.add_argument("--flat_opt", action="store_true",
+                   help="run the optimizer on one raveled vector instead of "
+                        "per parameter leaf (measured ~3%% slower on chip — "
+                        "kept for resuming checkpoints saved under the "
+                        "round-2 flat default)")
     p.add_argument("--no_flat_opt", action="store_true",
-                   help="run the optimizer per parameter leaf instead of on "
-                        "one raveled vector (slower; needed to resume "
-                        "checkpoints saved before the flat layout)")
+                   help=argparse.SUPPRESS)  # legacy no-op (tree is default)
     p.add_argument("--guard_nonfinite", action="store_true",
                    help="skip optimizer updates whose gradients are "
                         "NaN/inf instead of poisoning the params")
@@ -163,7 +166,7 @@ def main(opt):
                  guard_nonfinite=getattr(opt, "guard_nonfinite", False),
                  label_smoothing=getattr(opt, "label_smoothing", 0.0),
                  focal_gamma=getattr(opt, "focal_gamma", 0.0),
-                 flat_optimizer=not getattr(opt, "no_flat_opt", False))
+                 flat_optimizer=getattr(opt, "flat_opt", False))
 
     model = YOLOv5(first_out=cfg.first_out, nc=cfg.nc, dtype=jnp.bfloat16,
                    depth_mult=fam_dm, remat=getattr(opt, "remat", False))

@@ -89,11 +89,14 @@ class Config:
     lr_final: float = 0.01               # cosine floor as a fraction of lr
     guard_nonfinite: bool = False        # skip updates with non-finite grads
     # Run clip/wd/Adam/EMA/accumulation over ONE raveled parameter vector
-    # instead of ~300 per-leaf kernels (the optimizer chain was the largest
-    # non-structural train-step term, ~7.5ms/step — see train/trainer.py).
-    # Changes the opt_state/accum checkpoint layout; --no_flat_opt restores
-    # the per-leaf layout (needed to resume pre-flat checkpoints).
-    flat_optimizer: bool = True
+    # instead of ~300 per-leaf kernels. Measured on chip (round 3,
+    # benchmarks/profile_train_flat.py): the flat path is ~3% SLOWER at
+    # bs32 (308 vs 318 img/s) — the round-2 "7.5ms per-leaf overhead" was
+    # per-call dispatch inflation, and XLA already fuses the per-leaf
+    # chain well while ravel/unravel adds copy traffic. Default is the
+    # per-leaf layout; --flat_opt opts in (changes the opt_state/accum
+    # checkpoint layout; flags must match to resume a checkpoint).
+    flat_optimizer: bool = False
 
     @property
     def num_scales(self) -> int:

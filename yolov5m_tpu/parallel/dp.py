@@ -95,7 +95,7 @@ def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
 
 def make_dp_train_step(model, loss_fn, optimizer, mesh: Mesh,
                        accumulate: int = 1, axis: str = "data",
-                       donate: bool = False, flat: bool = True) -> Callable:
+                       donate: bool = False, flat: bool = False) -> Callable:
     """shard_mapped + jitted DP train step.
 
     The global batch must divide the mesh size. Losses/grads are psum-summed

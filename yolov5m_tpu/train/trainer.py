@@ -110,12 +110,13 @@ def upgrade_opt_state_to_schedule(opt_state):
 def create_train_state(model, cfg: Config, rng, input_hw: Tuple[int, int],
                        optimizer: Optional[optax.GradientTransformation] = None,
                        flat: Optional[bool] = None) -> TrainState:
-    """flat (default cfg.flat_optimizer): hold opt_state and accum_grads on
-    ONE raveled parameter vector — the train step then runs the whole
-    update chain (clip/wd/Adam/lr/accum/EMA/param-add) as a handful of
-    fused kernels over that vector instead of ~300 per-leaf kernels
-    (measured ~7.5ms/step of per-leaf overhead, ROUND2_NOTES.md train
-    decomposition). Must match the `flat` passed to make_train_step."""
+    """flat (default cfg.flat_optimizer = False): hold opt_state and
+    accum_grads on ONE raveled parameter vector and run the whole update
+    chain over it. Measured ~3% SLOWER than the per-leaf path on chip
+    (round 3, benchmarks/profile_train_flat.py — the round-2 "7.5ms
+    per-leaf overhead" was per-call dispatch inflation); kept as an
+    option for resuming round-2 flat-layout checkpoints. Must match the
+    `flat` passed to make_train_step."""
     variables = model.init(rng, jnp.zeros((1, *input_hw, 3), jnp.float32))
     optimizer = optimizer or make_optimizer(cfg)
     params = variables["params"]
@@ -150,7 +151,7 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     accumulate: int = 1,
     pmean_axis: Optional[str] = None,
-    flat: bool = True,
+    flat: bool = False,
 ) -> Callable:
     """Build the train-step function (jit it, or shard_map it for DP).
 
@@ -160,11 +161,12 @@ def make_train_step(
       pmean_axis: if set, grads are psum-reduced and batch_stats pmean-reduced
         over this mesh axis (the DP path; see parallel/dp.py).
       flat: run the whole optimizer/EMA/accumulation update in raveled
-        flat-vector space (one concat + a few fused elementwise kernels +
-        one unravel, instead of ~300 per-leaf kernels). Numerically
-        equivalent — clip_by_global_norm is already a global reduction, and
-        every other chain member is elementwise. Must match the layout
-        create_train_state built (cfg.flat_optimizer).
+        flat-vector space. Numerically equivalent — clip_by_global_norm is
+        already a global reduction, and every other chain member is
+        elementwise — but measured ~3% slower on chip than the per-leaf
+        path (ravel/unravel copy traffic; XLA fuses the per-leaf chain
+        fine). Off by default; must match the layout create_train_state
+        built (cfg.flat_optimizer).
     """
 
     if pmean_axis is not None and loss_fn.axis_name != pmean_axis:
