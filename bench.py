@@ -88,7 +88,7 @@ def run_matmul_probe() -> dict:
     return {}
 
 
-def main(batch_size: int = 64, warmup_rounds: int = 2) -> None:
+def main(batch_size: int = 128, warmup_rounds: int = 2) -> None:
     # persistent compile cache: repeated bench runs (the driver's included)
     # skip the multi-minute remote compile of the full pipeline
     try:
@@ -113,7 +113,12 @@ def main(batch_size: int = 64, warmup_rounds: int = 2) -> None:
     # 4.14ms), so driving the pipeline batch-by-batch donates ~8% of the
     # round to transport. The on-device scan is the production serving shape
     # (one dispatch, many batches) and measured 1365 vs 1198 img/s.
-    CHAIN_LEN = 4
+    # batch_size=128 is the measured throughput optimum (round-3 sweep,
+    # benchmarks/profile_batchsize.py: 1480 img/s vs 1221 at bs=64 —
+    # better MXU batch tiling on the early low-channel convs); CHAIN_LEN
+    # keeps 256 images per call so dispatch amortization and HBM footprint
+    # stay constant across batch sizes.
+    CHAIN_LEN = max(256 // batch_size, 1)
 
     def make_arm(backend):
         @jax.jit
