@@ -6,6 +6,8 @@ from yolov5m_tpu.parallel.dp import (
     replicate_state,
     shard_batch,
 )
+from yolov5m_tpu.parallel.infer import make_dp_infer_fn
 
 __all__ = ["initialize_multihost", "local_batch_slice", "make_mesh",
-           "make_dp_train_step", "replicate_state", "shard_batch"]
+           "make_dp_train_step", "make_dp_infer_fn", "replicate_state",
+           "shard_batch"]
