@@ -36,7 +36,8 @@ class Evaluator:
 
     def __init__(self, model, anchors_norm, cfg: Config,
                  anchors_px: Optional[np.ndarray] = None,
-                 fused_eval: bool = True):
+                 fused_eval: bool = True,
+                 overlap: Optional[bool] = None):
         self.model = model
         self.anchors_norm = jnp.asarray(anchors_norm)   # (nl, na, 2) / stride
         self.anchors_px = (np.asarray(anchors_px) if anchors_px is not None
@@ -50,6 +51,12 @@ class Evaluator:
         can_fuse = (fused_eval and hasattr(model, "clone")
                     and getattr(model, "fused", None) is False)
         self._fused_model = model.clone(fused=True) if can_fuse else None
+        # overlap: dispatch batch i+1 before syncing batch i so the ~7ms/img
+        # host matcher hides behind device eval. Measured 11-22% faster on
+        # the TPU relay with identical per-image work in both arms
+        # (benchmarks/profile_eval_wall.py, alternating reps); overlap=False
+        # forces a full sync between batches (debugging aid).
+        self.overlap = True if overlap is None else overlap
         self._eval_batch = self._build_eval_batch()
 
     def _build_eval_batch(self):
@@ -116,11 +123,13 @@ class Evaluator:
         mapm = MeanAveragePrecision()
         counts = np.zeros(4)
 
-        # Software pipeline (depth 1): JAX dispatch is asynchronous, so the
-        # device evaluates batch i+1 while the host runs the greedy matcher
-        # over batch i's results (~7ms/image host-side — serialized, it
-        # roughly doubled eval wall time). np.asarray() below is the sync
-        # point for the PREVIOUS batch's device work.
+        # Software pipeline (depth 1, self.overlap, default on): JAX
+        # dispatch is asynchronous, so the device evaluates batch i+1 while
+        # the host runs the greedy matcher over batch i's results
+        # (~7ms/image host-side; 11-22% wall-time saving measured even over
+        # the relay). With overlap=False each batch is fully synced before
+        # the next dispatch. np.asarray() below is the sync point for the
+        # previous dispatch.
         def start(batch):
             return batch, self._eval_batch(
                 variables, jnp.asarray(batch["image"]),
@@ -133,10 +142,11 @@ class Evaluator:
             pending = None
         while pending is not None:
             batch, (det, det_valid, c) = pending
-            try:
-                pending = start(next(it))       # dispatch next before syncing
-            except StopIteration:
-                pending = None
+            if self.overlap:
+                try:
+                    pending = start(next(it))   # dispatch next before syncing
+                except StopIteration:
+                    pending = None
             h, w = batch["image"].shape[1:3]
             counts += np.asarray(c)
             det = np.asarray(det)
@@ -185,6 +195,11 @@ class Evaluator:
                                    labels=det[b][keep][:, 0]),
                         targets=dict(boxes=gt_xyxy, labels=gt[:, 0]))
                 image_id += 1
+            if not self.overlap:                # sync done — dispatch next
+                try:
+                    pending = start(next(it))
+                except StopIteration:
+                    pending = None
 
         if dump is not None:
             paths = dump.write(coco_dump_dir)
