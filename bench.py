@@ -134,7 +134,10 @@ def main(batch_size: int = 128, warmup_rounds: int = 2) -> None:
                     preds, anchors, conf_threshold=0.25,
                     iou_threshold=cfg.nms_iou_thresh,
                     max_detections=cfg.max_detections,
-                    pre_nms_topk=cfg.pre_nms_topk,
+                    # serving config: K scales with the 0.25 conf gate
+                    # (cfg.topk_for_conf docstring; ~5% e2e win, lossless
+                    # at serving confidence)
+                    pre_nms_topk=cfg.topk_for_conf(0.25),
                     backend=backend)
                 return acc + valid.sum().astype(jnp.float32), ()
             acc, _ = jax.lax.scan(body, acc, xs)
@@ -144,7 +147,7 @@ def main(batch_size: int = 128, warmup_rounds: int = 2) -> None:
     # the shipped default backend resolves per platform (pallas on TPU);
     # its arm is the HEADLINE arm. The others ride along both as lane
     # carriers (multi-program shape) and as an A/B record.
-    default_backend = resolve_backend("auto", cfg.pre_nms_topk)
+    default_backend = resolve_backend("auto", cfg.topk_for_conf(0.25))
     backends = ["xla", "xla_loop"]
     if default_backend not in backends:
         backends.insert(0, default_backend)

@@ -56,3 +56,40 @@ def test_fused_empty(rng):
     out, valid = fused_detect(preds, anchors, conf_threshold=0.25,
                               pre_nms_topk=128)
     assert int(np.asarray(valid).sum()) == 0
+
+
+def test_serving_topk_is_lossless_below_capacity(rng):
+    """cfg.topk_for_conf shrinks K to 512 at serving confidence (>= 0.25).
+    Whenever fewer candidates pass the gate than the smaller K, results are
+    IDENTICAL to the full-capacity run — the top-k merely truncates the
+    NEG_INF-padded tail. (Round-3 A/B: K=512 is ~5% faster e2e at bs=128.)"""
+    from yolov5m_tpu.config import Config
+
+    cfg = Config()
+    assert cfg.topk_for_conf(0.25) == 512
+    assert cfg.topk_for_conf(0.3) == 512
+    assert cfg.topk_for_conf(0.01) == cfg.pre_nms_topk
+
+    # sparse positives: ~40 gate survivors, far below both capacities
+    preds = []
+    for s in (8, 4, 2):
+        p = rng.normal(0, 1.0, (2, 3, s, s, 12)).astype(np.float32)
+        p[..., 4] = -8.0
+        flat_n = 3 * s * s
+        hot = rng.choice(flat_n, size=min(8, flat_n), replace=False)
+        for h in hot:
+            a, rem = divmod(h, s * s)
+            y, x = divmod(rem, s)
+            p[:, a, y, x, 4] = rng.uniform(0.5, 3.0)
+        preds.append(jnp.asarray(p))
+    anchors = jnp.asarray(_norm_anchors())
+
+    out_small, valid_small = fused_detect(preds, anchors, conf_threshold=0.25,
+                                          iou_threshold=0.5, pre_nms_topk=64)
+    out_big, valid_big = fused_detect(preds, anchors, conf_threshold=0.25,
+                                      iou_threshold=0.5, pre_nms_topk=256)
+    np.testing.assert_array_equal(np.asarray(valid_small),
+                                  np.asarray(valid_big))
+    np.testing.assert_allclose(np.asarray(out_small), np.asarray(out_big),
+                               rtol=1e-6, atol=1e-6)
+    assert int(np.asarray(valid_small).sum()) > 0

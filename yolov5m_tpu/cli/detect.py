@@ -152,7 +152,7 @@ def main(opt):
         return fused_detect(preds, anchors_norm, conf_threshold=opt.conf,
                             iou_threshold=opt.iou,
                             max_detections=cfg.max_detections,
-                            pre_nms_topk=cfg.pre_nms_topk)
+                            pre_nms_topk=cfg.topk_for_conf(opt.conf))
 
     t0 = time.perf_counter()
     det, valid = infer(variables, x)
@@ -231,7 +231,7 @@ def _detect_dir(opt, model, variables, anchors_norm, cfg, labels):
         return fused_detect(preds, anchors, conf_threshold=opt.conf,
                             iou_threshold=opt.iou,
                             max_detections=cfg.max_detections,
-                            pre_nms_topk=cfg.pre_nms_topk)
+                            pre_nms_topk=cfg.topk_for_conf(opt.conf))
 
     if opt.save_pred:
         os.makedirs(opt.out, exist_ok=True)

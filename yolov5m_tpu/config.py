@@ -75,6 +75,17 @@ class Config:
     pre_nms_topk: int = 1024             # candidates entering NMS per image
     max_detections: int = 300            # reference bboxes_utils.py:175
 
+    def topk_for_conf(self, conf_threshold: float) -> int:
+        """NMS candidate capacity scaled to the confidence gate. At the
+        serving gate (conf >= 0.25) real images yield tens-to-hundreds of
+        candidates, so K=512 loses nothing and measures ~5% faster end to
+        end (round-3 A/B at bs=128: K=1024 1449 / K=512 1517 img/s); at
+        the eval gate (0.01) thousands pass and the full pre_nms_topk
+        preserves recall. max_detections=300 stays below either K."""
+        if conf_threshold >= 0.25:
+            return min(self.pre_nms_topk, 512)
+        return self.pre_nms_topk
+
     # Precision policy
     compute_dtype: str = "bfloat16"      # MXU-friendly; params stay float32
 
