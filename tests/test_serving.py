@@ -1,0 +1,141 @@
+"""Batching detection server (serving/server.py) end-to-end over real sockets.
+
+A tiny fused model serves the length-prefixed protocol on an ephemeral port;
+responses must match the direct pipeline (same native letterbox + fused_detect
++ unletterbox) bit-for-bit within float tolerance, survive concurrent clients
+(the batching path), and degrade per-request on undecodable input.
+"""
+
+import io
+import threading
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from PIL import Image
+
+from yolov5m_tpu.models import YOLOv5
+from yolov5m_tpu.models.fuse import fold_batchnorm
+from yolov5m_tpu.models.yolo import normalized_anchors
+from yolov5m_tpu.ops.postprocess import fused_detect
+from yolov5m_tpu.serving import DetectionClient, DetectionServer
+
+NC = 4
+S = 64
+LABELS = ["a", "b", "c", "d"]
+KW = dict(conf_threshold=0.01, iou_threshold=0.45, max_detections=16,
+          pre_nms_topk=32)
+
+
+@pytest.fixture(scope="module")
+def served():
+    model = YOLOv5(first_out=8, nc=NC, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, S, S, 3), jnp.float32))
+    fused = model.clone(fused=True)
+    fused_vars = fold_batchnorm(variables)
+    server = DetectionServer(fused, fused_vars, normalized_anchors(),
+                             labels=LABELS, image_size=S, batch_size=4,
+                             max_wait_ms=10.0, **KW)
+    with server:
+        yield server, fused, fused_vars
+
+
+def _jpeg(arr):
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, "JPEG", quality=95)
+    return buf.getvalue()
+
+
+def _expected(fused, variables, jpeg_bytes):
+    """The direct pipeline the server must reproduce."""
+    from yolov5m_tpu.data.native import letterbox
+    from yolov5m_tpu.ops.boxes import unletterbox_boxes
+
+    img = np.asarray(Image.open(io.BytesIO(jpeg_bytes)).convert("RGB"))
+    boxed, ratio, (dw, dh) = letterbox(img, (S, S))
+    x = jnp.asarray(boxed[None].astype(np.float32) / 255.0)
+    preds = fused.apply(variables, x, train=False)
+    det, valid = jax.device_get(fused_detect(
+        preds, jnp.asarray(normalized_anchors()), **KW))
+    rows = det[0][valid[0]]
+    boxes = (np.asarray(unletterbox_boxes(rows[:, 2:6].copy(), ratio,
+                                          (dw, dh), img.shape[:2]))
+             if len(rows) else np.zeros((0, 4)))
+    return rows, boxes, img.shape[:2]
+
+
+def _check_matches(resp, rows, boxes, orig_hw):
+    assert resp["ok"] is True
+    assert (resp["height"], resp["width"]) == tuple(orig_hw)
+    assert len(resp["detections"]) == len(rows)
+    for d, r, b in zip(resp["detections"], rows, boxes):
+        assert d["class_id"] == int(r[0])
+        assert d["label"] == LABELS[int(r[0])]
+        np.testing.assert_allclose(d["confidence"], r[1], atol=1e-4)
+        np.testing.assert_allclose(d["box"], b, atol=0.02)
+
+
+def test_serving_matches_direct_pipeline(served, rng):
+    server, fused, variables = served
+    with DetectionClient(port=server.port) as client:
+        # distinct sizes: aspect-preserving letterbox geometry per image
+        for shape in ((48, 80, 3), (100, 52, 3), (64, 64, 3)):
+            data = _jpeg(rng.integers(0, 255, shape, np.uint8))
+            resp = client.detect(data)
+            rows, boxes, orig_hw = _expected(fused, variables, data)
+            _check_matches(resp, rows, boxes, orig_hw)
+            assert rows.size, "degenerate test: no detections at conf=0.01"
+
+
+def test_serving_concurrent_clients(served, rng):
+    """More in-flight requests than one batch: exercises padding + batching;
+    every client gets its own image's answer back, in its request order."""
+    server, fused, variables = served
+    datas = [_jpeg(rng.integers(0, 255, (40 + 4 * i, 60, 3), np.uint8))
+             for i in range(6)]
+    expected = [_expected(fused, variables, d) for d in datas]
+    results = [None] * len(datas)
+
+    def run(i):
+        with DetectionClient(port=server.port) as client:
+            r1 = client.detect(datas[i])
+            r2 = client.detect(datas[i])  # pipelined second request
+            results[i] = (r1, r2)
+
+    threads = [threading.Thread(target=run, args=(i,))
+               for i in range(len(datas))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    for i, pair in enumerate(results):
+        assert pair is not None, f"client {i} timed out"
+        rows, boxes, orig_hw = expected[i]
+        for resp in pair:
+            _check_matches(resp, rows, boxes, orig_hw)
+
+
+def test_serving_png_fallback(served, rng):
+    """Non-JPEG input takes the PIL decode fallback, same geometry."""
+    server, fused, variables = served
+    arr = rng.integers(0, 255, (30, 70, 3), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, "PNG")
+    png = buf.getvalue()
+    with DetectionClient(port=server.port) as client:
+        resp = client.detect(png)
+    assert resp["ok"] is True
+    assert (resp["height"], resp["width"]) == (30, 70)
+
+
+def test_serving_bad_input_is_per_request(served, rng):
+    """Garbage bytes error that request only; the connection stays usable."""
+    server, fused, variables = served
+    with DetectionClient(port=server.port) as client:
+        bad = client.detect(b"definitely not an image")
+        assert bad["ok"] is False and "undecodable" in bad["error"]
+        data = _jpeg(rng.integers(0, 255, (32, 32, 3), np.uint8))
+        good = client.detect(data)
+        assert good["ok"] is True

@@ -1,0 +1,315 @@
+"""Production batching detection server (TPU serving runtime).
+
+The reference stops at a single-image detect script (reference
+detect.py:16-55); production serving needs a running process that turns
+concurrent image requests into fixed-shape device batches. This module is
+that runtime, built from the framework's own pieces:
+
+  * host data plane: native GIL-free libjpeg decode + C letterbox
+    (native/preprocess.cc via data/native.py) — one reader thread per
+    connection, so decode parallelizes across clients on many-core hosts;
+  * device data plane: ONE jitted static-shape program (forward + fused
+    decode + NMS, ops/postprocess.py) at a fixed batch size; short requests
+    are padded — XLA never sees a dynamic shape, so there is exactly one
+    compilation for the life of the server;
+  * batching: a single batcher thread collects up to `batch_size` requests,
+    waiting at most `max_wait_ms` after the first (classic
+    latency/throughput knob). bs=128 is the measured single-chip throughput
+    optimum (benchmarks/profile_batchsize.py); small deployments should set
+    the batch to their p99 concurrency.
+
+Wire protocol (dependency-free, length-prefixed):
+  request  = uint32_be length | image bytes (JPEG fast path, anything PIL
+             reads otherwise); length 0 closes the connection gracefully.
+  response = uint32_be length | UTF-8 JSON:
+             {"ok": true, "width": W, "height": H,
+              "detections": [{"class_id": i, "label": str,
+                              "confidence": p, "box": [x1, y1, x2, y2]}]}
+             (box in ORIGINAL-image pixel coords, like cli/detect.py) or
+             {"ok": false, "error": "..."}.
+Responses come back in request order on each connection (the per-connection
+reader decodes serially; the batcher is single-threaded and FIFO).
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import socket
+import struct
+import threading
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_HDR = struct.Struct(">I")
+_MAX_REQUEST = 64 * 1024 * 1024  # 64 MB: reject absurd frames early
+
+
+def _read_exact(sock: socket.socket, n: int) -> Optional[bytes]:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            return None
+        buf += chunk
+    return buf
+
+
+def _decode_image(data: bytes) -> Optional[np.ndarray]:
+    """(h, w, 3) RGB uint8, native libjpeg fast path, PIL fallback."""
+    from yolov5m_tpu.data.native import decode_jpeg
+    img = decode_jpeg(data)
+    if img is not None:
+        return img
+    try:
+        import io
+        from PIL import Image
+        with Image.open(io.BytesIO(data)) as im:
+            return np.asarray(im.convert("RGB"))
+    except Exception:
+        return None
+
+
+@dataclass
+class _Pending:
+    conn: socket.socket
+    wlock: threading.Lock
+    image: Optional[np.ndarray] = None           # letterboxed uint8
+    geom: Optional[Tuple] = None                 # (ratio, (dw, dh), orig_hw)
+    error: Optional[str] = None
+    payload: dict = field(default_factory=dict)
+
+
+class DetectionServer:
+    """Batching TCP detection server around a (possibly fused) YOLOv5.
+
+    model/variables: anything `model.apply(variables, x, train=False)`
+    accepts — fold BatchNorm first for serving (models/fuse.py).
+    Use `with DetectionServer(...) as srv:` or start()/stop().
+    """
+
+    def __init__(self, model, variables, anchors_norm,
+                 labels: Optional[Sequence[str]] = None,
+                 image_size: int = 640,
+                 conf_threshold: float = 0.25,
+                 iou_threshold: float = 0.45,
+                 max_detections: int = 300,
+                 pre_nms_topk: Optional[int] = None,
+                 batch_size: int = 16,
+                 max_wait_ms: float = 5.0,
+                 host: str = "127.0.0.1",
+                 port: int = 0):
+        import jax
+        import jax.numpy as jnp
+        from yolov5m_tpu.config import Config
+        from yolov5m_tpu.ops.postprocess import fused_detect
+
+        self.labels = list(labels) if labels else None
+        self.image_size = int(image_size)
+        self.batch_size = int(batch_size)
+        self.max_wait_s = float(max_wait_ms) / 1e3
+        self._host, self._port = host, int(port)
+
+        anchors_norm = jnp.asarray(anchors_norm)
+        if pre_nms_topk is None:
+            pre_nms_topk = Config().topk_for_conf(conf_threshold)
+
+        @jax.jit
+        def infer(x):
+            preds = model.apply(variables, x, train=False)
+            return fused_detect(preds, anchors_norm,
+                                conf_threshold=conf_threshold,
+                                iou_threshold=iou_threshold,
+                                max_detections=max_detections,
+                                pre_nms_topk=pre_nms_topk)
+
+        self._infer = infer
+        self._jnp = jnp
+        self._queue: "queue.Queue[Optional[_Pending]]" = queue.Queue()
+        self._stop = threading.Event()
+        self._threads: List[threading.Thread] = []
+        self._listener: Optional[socket.socket] = None
+
+    # -- lifecycle -----------------------------------------------------
+
+    def start(self, warmup: bool = True) -> "DetectionServer":
+        if warmup:  # compile before accepting traffic (first jit is slow)
+            x = self._jnp.zeros(
+                (self.batch_size, self.image_size, self.image_size, 3),
+                self._jnp.float32)
+            det, valid = self._infer(x)
+            det.block_until_ready()
+        self._listener = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._listener.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._listener.bind((self._host, self._port))
+        self._listener.listen(128)
+        self._port = self._listener.getsockname()[1]
+        for fn in (self._accept_loop, self._batch_loop):
+            t = threading.Thread(target=fn, daemon=True)
+            t.start()
+            self._threads.append(t)
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._listener is not None:
+            try:
+                self._listener.close()
+            except OSError:
+                pass
+        self._queue.put(None)  # wake the batcher
+        for t in self._threads:
+            t.join(timeout=5)
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()
+
+    @property
+    def port(self) -> int:
+        return self._port
+
+    # -- host data plane ------------------------------------------------
+
+    def _accept_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._listener.accept()
+            except OSError:
+                return  # listener closed
+            t = threading.Thread(target=self._reader_loop, args=(conn,),
+                                 daemon=True)
+            t.start()
+
+    def _reader_loop(self, conn: socket.socket) -> None:
+        """Read frames, decode + letterbox inline (native decode drops the
+        GIL, so reader threads parallelize across connections), enqueue."""
+        from yolov5m_tpu.data.native import letterbox
+        wlock = threading.Lock()
+        with conn:
+            while not self._stop.is_set():
+                hdr = _read_exact(conn, _HDR.size)
+                if hdr is None:
+                    return
+                (n,) = _HDR.unpack(hdr)
+                if n == 0:
+                    return  # graceful close
+                if n > _MAX_REQUEST:
+                    self._send(conn, wlock,
+                               {"ok": False, "error": f"frame too large ({n} bytes)"})
+                    return
+                data = _read_exact(conn, n)
+                if data is None:
+                    return
+                item = _Pending(conn, wlock)
+                img = _decode_image(data)
+                if img is None:
+                    item.error = "undecodable image"
+                else:
+                    s = self.image_size
+                    boxed, ratio, (dw, dh) = letterbox(img, (s, s))
+                    item.image = boxed
+                    item.geom = (ratio, (dw, dh), img.shape[:2])
+                self._queue.put(item)
+
+    # -- device data plane ----------------------------------------------
+
+    def _batch_loop(self) -> None:
+        import time
+        while not self._stop.is_set():
+            first = self._queue.get()
+            if first is None:
+                return
+            batch = [first]
+            deadline = time.monotonic() + self.max_wait_s
+            while len(batch) < self.batch_size:
+                timeout = deadline - time.monotonic()
+                if timeout <= 0:
+                    break
+                try:
+                    item = self._queue.get(timeout=timeout)
+                except queue.Empty:
+                    break
+                if item is None:
+                    break
+                batch.append(item)
+            self._run_batch(batch)
+
+    def _run_batch(self, batch: List[_Pending]) -> None:
+        todo = [b for b in batch if b.error is None]
+        if todo:
+            s = self.image_size
+            x = np.zeros((self.batch_size, s, s, 3), np.float32)
+            for i, item in enumerate(todo):
+                x[i] = item.image.astype(np.float32) / 255.0
+            det, valid = self._infer(self._jnp.asarray(x))
+            det = np.asarray(det)
+            valid = np.asarray(valid)
+            for i, item in enumerate(todo):
+                item.payload = self._to_payload(det[i][valid[i]], item.geom)
+        for item in batch:
+            if item.error is not None:
+                item.payload = {"ok": False, "error": item.error}
+            self._send(item.conn, item.wlock, item.payload)
+
+    def _to_payload(self, rows: np.ndarray, geom) -> dict:
+        from yolov5m_tpu.ops.boxes import unletterbox_boxes
+        ratio, (dw, dh), orig_hw = geom
+        dets = []
+        if len(rows):
+            boxes = np.asarray(unletterbox_boxes(rows[:, 2:6].copy(), ratio,
+                                                 (dw, dh), orig_hw))
+            for r, b in zip(rows, boxes):
+                cid = int(r[0])
+                label = (self.labels[cid]
+                         if self.labels and cid < len(self.labels) else str(cid))
+                dets.append({"class_id": cid, "label": label,
+                             "confidence": round(float(r[1]), 5),
+                             "box": [round(float(v), 2) for v in b]})
+        return {"ok": True, "width": int(orig_hw[1]),
+                "height": int(orig_hw[0]), "detections": dets}
+
+    @staticmethod
+    def _send(conn: socket.socket, wlock: threading.Lock, payload: dict) -> None:
+        data = json.dumps(payload).encode()
+        try:
+            with wlock:
+                conn.sendall(_HDR.pack(len(data)) + data)
+        except OSError:
+            pass  # client went away; nothing to do
+
+
+class DetectionClient:
+    """Minimal client for DetectionServer's length-prefixed protocol."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0,
+                 timeout: float = 60.0):
+        self._sock = socket.create_connection((host, port), timeout=timeout)
+
+    def detect(self, image_bytes: bytes) -> dict:
+        self._sock.sendall(_HDR.pack(len(image_bytes)) + image_bytes)
+        hdr = _read_exact(self._sock, _HDR.size)
+        if hdr is None:
+            raise ConnectionError("server closed the connection")
+        (n,) = _HDR.unpack(hdr)
+        data = _read_exact(self._sock, n)
+        if data is None:
+            raise ConnectionError("truncated response")
+        return json.loads(data.decode())
+
+    def close(self) -> None:
+        try:
+            self._sock.sendall(_HDR.pack(0))
+        except OSError:
+            pass
+        self._sock.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
