@@ -25,6 +25,9 @@ def _preds(rng, bs=2, hw=64, nc=7):
 
 
 def test_fused_matches_two_stage(rng):
+    # gate="sort": exact top-k in ANY survivor regime (these random logits
+    # flood the gate far past capacity — the compact gate's documented
+    # index-truncation regime, so it is exercised separately below)
     preds = _preds(rng)
     anchors = jnp.asarray(_norm_anchors())
 
@@ -32,7 +35,7 @@ def test_fused_matches_two_stage(rng):
     out_ref, valid_ref = batched_nms(rows, 0.5, 0.3, 300, 128)
     out_f, valid_f = fused_detect(preds, anchors, conf_threshold=0.3,
                                   iou_threshold=0.5, max_detections=300,
-                                  pre_nms_topk=128)
+                                  pre_nms_topk=128, gate="sort")
     np.testing.assert_array_equal(np.asarray(valid_ref), np.asarray(valid_f))
     a, b = np.asarray(out_ref), np.asarray(out_f)
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-4)
@@ -93,3 +96,71 @@ def test_serving_topk_is_lossless_below_capacity(rng):
     np.testing.assert_allclose(np.asarray(out_small), np.asarray(out_big),
                                rtol=1e-6, atol=1e-6)
     assert int(np.asarray(valid_small).sum()) > 0
+
+
+def _sparse_preds(rng, hot_per_scale=8):
+    """~3x8 gate survivors at conf 0.25: the realistic serving regime."""
+    preds = []
+    for s in (8, 4, 2):
+        p = rng.normal(0, 1.0, (2, 3, s, s, 12)).astype(np.float32)
+        p[..., 4] = -8.0
+        flat_n = 3 * s * s
+        hot = rng.choice(flat_n, size=min(hot_per_scale, flat_n),
+                         replace=False)
+        for h in hot:
+            a, rem = divmod(h, s * s)
+            y, x = divmod(rem, s)
+            p[:, a, y, x, 4] = rng.uniform(0.5, 3.0)
+        preds.append(jnp.asarray(p))
+    return preds
+
+
+def test_gate_compact_equals_sort_below_capacity(rng):
+    """The compact gate (cumsum+searchsorted) is bitwise-identical to the
+    full sort whenever the survivors fit in K — the regime
+    Config.topk_for_conf guarantees. (Compact measured slower on chip, so
+    it is an option, not the default — ops/postprocess.py.)"""
+    preds = _sparse_preds(rng)
+    anchors = jnp.asarray(_norm_anchors())
+    kw = dict(conf_threshold=0.25, iou_threshold=0.5, max_detections=32,
+              pre_nms_topk=64)
+    out_s, valid_s = fused_detect(preds, anchors, gate="sort", **kw)
+    out_c, valid_c = fused_detect(preds, anchors, gate="compact", **kw)
+    np.testing.assert_array_equal(np.asarray(valid_s), np.asarray(valid_c))
+    np.testing.assert_array_equal(np.asarray(out_s), np.asarray(out_c))
+    assert int(np.asarray(valid_s).sum()) > 0
+    # "auto" routes to sort (compact measured 0.888x of sort on chip);
+    # below capacity all three agree anyway
+    out_a, valid_a = fused_detect(preds, anchors, gate="auto", **kw)
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_s))
+
+
+def test_gate_compact_overflow_keeps_lowest_index_survivors(rng):
+    """Above capacity the compact gate keeps the K lowest-INDEX survivors
+    (documented serving truncation), score-sorted for NMS."""
+    from yolov5m_tpu.ops.nms import NEG_INF
+    from yolov5m_tpu.ops.postprocess import _gate_compact, _gate_topk_sort
+
+    n, k = 64, 8
+    scores = rng.uniform(0.1, 5.0, (1, n)).astype(np.float32)
+    mask = rng.uniform(size=(1, n)) < 0.5          # ~32 survivors > k
+    gated = jnp.where(jnp.asarray(mask), jnp.asarray(scores), NEG_INF)
+
+    logits_c, idx_c, valid_c = _gate_compact(gated, k)
+    surv = np.flatnonzero(mask[0])
+    expect = surv[:k]                               # lowest-index k survivors
+    assert set(np.asarray(idx_c)[0].tolist()) == set(expect.tolist())
+    assert bool(np.asarray(valid_c).all())
+    lc = np.asarray(logits_c)[0]
+    assert np.all(lc[:-1] >= lc[1:]), "NMS needs descending-score order"
+
+    # below capacity both gates agree on every VALID slot (invalid slots are
+    # NEG_INF don't-cares whose filler indices legitimately differ; NMS and
+    # _compact never read them — the e2e equality test above pins that)
+    few = jnp.where(jnp.asarray(np.arange(n) < 5)[None], jnp.asarray(scores),
+                    NEG_INF)
+    lc2, ic2, vc2 = (np.asarray(x) for x in _gate_compact(few, k))
+    ls2, is2, vs2 = (np.asarray(x) for x in _gate_topk_sort(few, k))
+    np.testing.assert_array_equal(vc2, vs2)
+    np.testing.assert_array_equal(lc2, ls2)
+    np.testing.assert_array_equal(ic2[vc2], is2[vs2])
