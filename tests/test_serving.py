@@ -130,6 +130,53 @@ def test_serving_png_fallback(served, rng):
     assert (resp["height"], resp["width"]) == (30, 70)
 
 
+def test_serving_pipelined_sustained_load(served, rng):
+    """Sustained multi-batch traffic exercises the depth-1 overlap path
+    (batch i+1 dispatched before batch i's results are fetched): every
+    request still gets its own image's answer, in order, per connection."""
+    server, fused, variables = served
+    datas = [_jpeg(rng.integers(0, 255, (36 + 2 * i, 44, 3), np.uint8))
+             for i in range(4)]
+    expected = [_expected(fused, variables, d) for d in datas]
+    results = [None] * len(datas)
+
+    def run(i):
+        with DetectionClient(port=server.port) as client:
+            # 5 back-to-back requests per client: with batch_size=4 and 4
+            # clients this spans >=5 device batches, keeping one in flight
+            results[i] = [client.detect(datas[i]) for _ in range(5)]
+
+    threads = [threading.Thread(target=run, args=(i,))
+               for i in range(len(datas))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    for i, resps in enumerate(results):
+        assert resps is not None, f"client {i} timed out"
+        rows, boxes, orig_hw = expected[i]
+        for resp in resps:
+            _check_matches(resp, rows, boxes, orig_hw)
+
+
+def test_serving_no_overlap_mode(rng):
+    """overlap=False (strict one-batch-at-a-time) serves identically."""
+    model = YOLOv5(first_out=8, nc=NC, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(1),
+                           jnp.zeros((1, S, S, 3), jnp.float32))
+    fused = model.clone(fused=True)
+    fused_vars = fold_batchnorm(variables)
+    server = DetectionServer(fused, fused_vars, normalized_anchors(),
+                             labels=LABELS, image_size=S, batch_size=2,
+                             max_wait_ms=5.0, overlap=False, **KW)
+    data = _jpeg(rng.integers(0, 255, (50, 66, 3), np.uint8))
+    with server, DetectionClient(port=server.port) as client:
+        for _ in range(3):
+            resp = client.detect(data)
+            rows, boxes, orig_hw = _expected(fused, fused_vars, data)
+            _check_matches(resp, rows, boxes, orig_hw)
+
+
 def test_serving_bad_input_is_per_request(served, rng):
     """Garbage bytes error that request only; the connection stays usable."""
     server, fused, variables = served

@@ -42,6 +42,8 @@ def arg_parser():
     p.add_argument("--port", type=int, default=5005)
     p.add_argument("--no_fuse", action="store_true",
                    help="keep live BatchNorm (debugging only)")
+    p.add_argument("--no_overlap", action="store_true",
+                   help="disable depth-1 batch pipelining (debugging only)")
     p.add_argument("--anchors", type=str, default=None,
                    help="anchors.json from an --autoanchor run")
     return p.parse_args()
@@ -83,7 +85,7 @@ def main(opt):
         image_size=opt.image_size, conf_threshold=opt.conf,
         iou_threshold=opt.iou, max_detections=cfg.max_detections,
         batch_size=opt.bs, max_wait_ms=opt.max_wait_ms,
-        host=opt.host, port=opt.port)
+        overlap=not opt.no_overlap, host=opt.host, port=opt.port)
     print(f"==> compiling bs={opt.bs} pipeline ...", flush=True)
     server.start()
     print(f"==> serving on {opt.host}:{server.port} "

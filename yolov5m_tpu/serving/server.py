@@ -16,7 +16,14 @@ that runtime, built from the framework's own pieces:
     waiting at most `max_wait_ms` after the first (classic
     latency/throughput knob). bs=128 is the measured single-chip throughput
     optimum (benchmarks/profile_batchsize.py); small deployments should set
-    the batch to their p99 concurrency.
+    the batch to their p99 concurrency;
+  * depth-1 pipelining: while batch i runs on device, the batcher collects
+    and DISPATCHES batch i+1 before fetching i's results, so the device
+    never idles on the host's result-fetch + JSON + socket work (same
+    software pipeline the Evaluator uses — measured 11-22% eval wall-time
+    saving, benchmarks/profile_eval_wall.py). Under no load the in-flight
+    batch is flushed immediately; `overlap=False` restores strict
+    one-batch-at-a-time behavior for debugging.
 
 Wire protocol (dependency-free, length-prefixed):
   request  = uint32_be length | image bytes (JPEG fast path, anything PIL
@@ -45,6 +52,7 @@ import numpy as np
 
 _HDR = struct.Struct(">I")
 _MAX_REQUEST = 64 * 1024 * 1024  # 64 MB: reject absurd frames early
+_STOP = object()  # batcher shutdown sentinel (distinct from any request)
 
 
 def _read_exact(sock: socket.socket, n: int) -> Optional[bytes]:
@@ -99,6 +107,7 @@ class DetectionServer:
                  pre_nms_topk: Optional[int] = None,
                  batch_size: int = 16,
                  max_wait_ms: float = 5.0,
+                 overlap: bool = True,
                  host: str = "127.0.0.1",
                  port: int = 0):
         import jax
@@ -110,6 +119,7 @@ class DetectionServer:
         self.image_size = int(image_size)
         self.batch_size = int(batch_size)
         self.max_wait_s = float(max_wait_ms) / 1e3
+        self.overlap = bool(overlap)
         self._host, self._port = host, int(port)
 
         anchors_norm = jnp.asarray(anchors_norm)
@@ -159,7 +169,7 @@ class DetectionServer:
                 self._listener.close()
             except OSError:
                 pass
-        self._queue.put(None)  # wake the batcher
+        self._queue.put(_STOP)  # wake the batcher
         for t in self._threads:
             t.join(timeout=5)
 
@@ -219,38 +229,88 @@ class DetectionServer:
     # -- device data plane ----------------------------------------------
 
     def _batch_loop(self) -> None:
-        import time
+        """Depth-1 software pipeline: batch i+1 is collected and dispatched
+        (async — jax returns futures) BEFORE batch i's results are fetched,
+        so the result-fetch/JSON/socket host work of batch i overlaps batch
+        i+1's device time. With no waiting traffic the in-flight batch is
+        flushed immediately, so idle-load latency is unchanged."""
+        inflight = None  # dispatched but not yet responded
         while not self._stop.is_set():
-            first = self._queue.get()
-            if first is None:
-                return
-            batch = [first]
-            deadline = time.monotonic() + self.max_wait_s
-            while len(batch) < self.batch_size:
-                timeout = deadline - time.monotonic()
-                if timeout <= 0:
-                    break
-                try:
-                    item = self._queue.get(timeout=timeout)
+            if inflight is None:
+                seed = self._queue.get()           # idle: block for traffic
+            else:
+                try:                               # device busy: don't block
+                    seed = self._queue.get_nowait()
                 except queue.Empty:
-                    break
-                if item is None:
-                    break
-                batch.append(item)
-            self._run_batch(batch)
+                    self._respond(inflight)        # no traffic: flush i
+                    inflight = None
+                    continue
+            if seed is _STOP:
+                if inflight is not None:
+                    self._respond(inflight)
+                return
+            nxt = self._dispatch(self._gather(seed))
+            if inflight is not None:
+                self._respond(inflight)            # device already runs nxt
+            if self.overlap:
+                inflight = nxt
+            else:
+                self._respond(nxt)
+        if inflight is not None:
+            self._respond(inflight)
 
-    def _run_batch(self, batch: List[_Pending]) -> None:
+    def _gather(self, first: _Pending) -> List[_Pending]:
+        """Collect up to batch_size requests, waiting at most max_wait_ms
+        after the first."""
+        import time
+        batch = [first]
+        deadline = time.monotonic() + self.max_wait_s
+        while len(batch) < self.batch_size:
+            timeout = deadline - time.monotonic()
+            if timeout <= 0:
+                break
+            try:
+                item = self._queue.get(timeout=timeout)
+            except queue.Empty:
+                break
+            if item is _STOP:
+                self._stop.set()  # finish this batch, then exit the loop
+                break
+            batch.append(item)
+        return batch
+
+    def _dispatch(self, batch: List[_Pending]):
+        """Enqueue one device batch; returns (batch, todo, det, valid)
+        futures without synchronizing."""
         todo = [b for b in batch if b.error is None]
+        det = valid = None
         if todo:
-            s = self.image_size
-            x = np.zeros((self.batch_size, s, s, 3), np.float32)
-            for i, item in enumerate(todo):
-                x[i] = item.image.astype(np.float32) / 255.0
-            det, valid = self._infer(self._jnp.asarray(x))
-            det = np.asarray(det)
-            valid = np.asarray(valid)
-            for i, item in enumerate(todo):
-                item.payload = self._to_payload(det[i][valid[i]], item.geom)
+            try:
+                s = self.image_size
+                x = np.zeros((self.batch_size, s, s, 3), np.float32)
+                for i, item in enumerate(todo):
+                    x[i] = item.image.astype(np.float32) / 255.0
+                det, valid = self._infer(self._jnp.asarray(x))
+            except Exception as e:  # keep the batcher alive: fail the batch
+                for item in todo:
+                    item.error = f"inference dispatch failed: {e}"
+                todo, det, valid = [], None, None
+        return batch, todo, det, valid
+
+    def _respond(self, inflight) -> None:
+        """Fetch a dispatched batch's results (the only device sync) and
+        answer every request in arrival order."""
+        batch, todo, det, valid = inflight
+        if todo:
+            try:
+                det = np.asarray(det)     # sync point
+                valid = np.asarray(valid)
+                for i, item in enumerate(todo):
+                    item.payload = self._to_payload(det[i][valid[i]],
+                                                    item.geom)
+            except Exception as e:  # keep the batcher alive
+                for item in todo:
+                    item.error = f"inference failed: {e}"
         for item in batch:
             if item.error is not None:
                 item.payload = {"ok": False, "error": item.error}
