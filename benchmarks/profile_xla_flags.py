@@ -46,8 +46,18 @@ def main():
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--full", action="store_true",
                     help="sweep the full pipeline instead of forward-only")
+    ap.add_argument("--arms", type=str, default=None,
+                    help="comma-separated subset of CANDIDATES (always "
+                         "includes 'default'); compiles are minutes each "
+                         "over the relay, so sweep in bounded chunks")
     opt = ap.parse_args()
     bs = opt.bs
+    if opt.arms:
+        keep = {"default"} | set(opt.arms.split(","))
+        unknown = keep - set(CANDIDATES)
+        assert not unknown, f"unknown arms: {sorted(unknown)}"
+        for k in [k for k in CANDIDATES if k not in keep]:
+            del CANDIDATES[k]
 
     cfg = Config()
     variables = fold_batchnorm(

@@ -84,6 +84,9 @@ def main(opt):
     import jax
     import jax.numpy as jnp
 
+    from yolov5m_tpu.utils.misc import enable_compile_cache
+    enable_compile_cache()
+
     from yolov5m_tpu.config import COCO_LABELS, FLIR_LABELS, Config
     from yolov5m_tpu.data.native import letterbox
     from yolov5m_tpu.models import YOLOv5

@@ -53,6 +53,9 @@ def main(opt):
     import jax.numpy as jnp
     import numpy as np
 
+    from yolov5m_tpu.utils.misc import enable_compile_cache
+    enable_compile_cache()
+
     from yolov5m_tpu.cli.detect import load_variables
     from yolov5m_tpu.config import COCO_LABELS, FLIR_LABELS, Config
     from yolov5m_tpu.models import YOLOv5

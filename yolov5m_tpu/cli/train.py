@@ -136,6 +136,9 @@ def main(opt):
     import jax
     import jax.numpy as jnp
 
+    from yolov5m_tpu.utils.misc import enable_compile_cache
+    enable_compile_cache()
+
     from yolov5m_tpu.config import ANCHORS, Config
     from yolov5m_tpu.data import get_loaders
     from yolov5m_tpu.eval import Evaluator

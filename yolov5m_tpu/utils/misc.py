@@ -29,6 +29,24 @@ def seed_everything(seed: int = 42):
     return jax.random.PRNGKey(seed)
 
 
+def enable_compile_cache(cache_dir: Optional[str] = None) -> None:
+    """Point jax at a persistent on-disk compilation cache so repeated CLI
+    runs (train resume, detect, server restarts) skip the multi-minute
+    remote compile of the full pipeline. Safe no-op on jax versions without
+    the knobs. Default location: .jax_cache next to the repo root (the same
+    cache bench.py and the test suite warm)."""
+    import jax
+    if cache_dir is None:
+        cache_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 @contextlib.contextmanager
 def profile_trace(logdir: Optional[str] = None) -> Iterator[None]:
     """Capture a jax.profiler trace (view in TensorBoard / xprof). If logdir
