@@ -115,6 +115,24 @@ def _sparse_preds(rng, hot_per_scale=8):
     return preds
 
 
+def test_bf16_gate_matches_f32_cast(rng):
+    """bf16 preds and their f32 casts must produce IDENTICAL detections:
+    the head already rounded to bf16, and the f32 upcast before the gate is
+    monotone and tie-preserving. (A bf16-native gate was A/B'd on chip and
+    measured 0.964x of the f32 gate — top_k is faster on f32 — so the f32
+    upcast stays; this test pins the dtype-invariance either way.)"""
+    preds_bf16 = [p.astype(jnp.bfloat16) for p in _preds(rng)]
+    preds_f32 = [p.astype(jnp.float32) for p in preds_bf16]
+    anchors = jnp.asarray(_norm_anchors())
+    kw = dict(conf_threshold=0.3, iou_threshold=0.5, max_detections=64,
+              pre_nms_topk=128)
+    out_b, valid_b = fused_detect(preds_bf16, anchors, **kw)
+    out_f, valid_f = fused_detect(preds_f32, anchors, **kw)
+    np.testing.assert_array_equal(np.asarray(valid_b), np.asarray(valid_f))
+    np.testing.assert_array_equal(np.asarray(out_b), np.asarray(out_f))
+    assert int(np.asarray(valid_b).sum()) > 0
+
+
 def test_gate_compact_equals_sort_below_capacity(rng):
     """The compact gate (cumsum+searchsorted) is bitwise-identical to the
     full sort whenever the survivors fit in K — the regime
