@@ -8,10 +8,11 @@ that runtime, built from the framework's own pieces:
   * host data plane: native GIL-free libjpeg decode + C letterbox
     (native/preprocess.cc via data/native.py) — one reader thread per
     connection, so decode parallelizes across clients on many-core hosts;
-  * device data plane: ONE jitted static-shape program (forward + fused
-    decode + NMS, ops/postprocess.py) at a fixed batch size; short requests
-    are padded — XLA never sees a dynamic shape, so there is exactly one
-    compilation for the life of the server;
+  * device data plane: ONE jitted static-shape program (normalize + forward
+    + fused decode + NMS, ops/postprocess.py) at a fixed batch size; short
+    requests are padded — XLA never sees a dynamic shape, so there is
+    exactly one compilation for the life of the server. Ingress is uint8
+    (normalize on device): 1 byte/pixel over PCIe/tunnel instead of 4;
   * batching: a single batcher thread collects up to `batch_size` requests,
     waiting at most `max_wait_ms` after the first (classic
     latency/throughput knob). bs=128 is the measured single-chip throughput
@@ -128,6 +129,12 @@ class DetectionServer:
 
         @jax.jit
         def infer(x):
+            # uint8 ingress: the normalize runs on device so the host→device
+            # transfer is 1 byte/pixel instead of 4 (at bs=128/640² that is
+            # 157 MB vs 629 MB per batch — PCIe/tunnel bound in production).
+            # Bit-identical to host-side float division: uint8→f32 is exact
+            # and /255.0 is the same f32 op either side.
+            x = x.astype(jnp.float32) / 255.0
             preds = model.apply(variables, x, train=False)
             return fused_detect(preds, anchors_norm,
                                 conf_threshold=conf_threshold,
@@ -148,7 +155,7 @@ class DetectionServer:
         if warmup:  # compile before accepting traffic (first jit is slow)
             x = self._jnp.zeros(
                 (self.batch_size, self.image_size, self.image_size, 3),
-                self._jnp.float32)
+                self._jnp.uint8)
             det, valid = self._infer(x)
             det.block_until_ready()
         self._listener = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
@@ -287,9 +294,9 @@ class DetectionServer:
         if todo:
             try:
                 s = self.image_size
-                x = np.zeros((self.batch_size, s, s, 3), np.float32)
+                x = np.zeros((self.batch_size, s, s, 3), np.uint8)
                 for i, item in enumerate(todo):
-                    x[i] = item.image.astype(np.float32) / 255.0
+                    x[i] = item.image          # letterboxed uint8, as decoded
                 det, valid = self._infer(self._jnp.asarray(x))
             except Exception as e:  # keep the batcher alive: fail the batch
                 for item in todo:
