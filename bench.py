@@ -91,12 +91,8 @@ def run_matmul_probe() -> dict:
 def main(batch_size: int = 128, warmup_rounds: int = 2) -> None:
     # persistent compile cache: repeated bench runs (the driver's included)
     # skip the multi-minute remote compile of the full pipeline
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(_HERE, ".jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from yolov5m_tpu.utils.misc import enable_compile_cache
+    enable_compile_cache(os.path.join(_HERE, ".jax_cache"))
 
     cfg = Config()
     base = YOLOv5(first_out=cfg.first_out, nc=cfg.nc, dtype=jnp.bfloat16)
@@ -193,7 +189,10 @@ def main(batch_size: int = 128, warmup_rounds: int = 2) -> None:
                 per_arm[name].append(
                     batch_size * CHAIN_LEN * SEG_CALLS / dt)
         n_round += 1
-        if time.time() > deadline:
+        # honor the deadline only once at least ONE measured round exists:
+        # on a degraded window where warmup alone eats the budget, an empty
+        # capture would crash the median below and print no JSON at all
+        if time.time() > deadline and n_round > warmup_rounds:
             break
 
     # lane-forensics probe AFTER measurement (subprocess; a hung probe must

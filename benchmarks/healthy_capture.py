@@ -98,12 +98,8 @@ def bench_arms(arms, xs, bs, n_rounds=4):
 
 
 def main():
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(_REPO, ".jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from yolov5m_tpu.utils.misc import enable_compile_cache
+    enable_compile_cache()
 
     section("healthcheck")
     import importlib.util

@@ -54,12 +54,8 @@ def _make_batches(n_batches, bs, hw, rng):
 
 
 def main(n_batches: int = 12, bs: int = 8, hw: int = 640):
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(_HERE, ".jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from yolov5m_tpu.utils.misc import enable_compile_cache
+    enable_compile_cache()
 
     cfg = Config(batch_size=bs, image_size=hw)
     model = YOLOv5(first_out=cfg.first_out, nc=cfg.nc, dtype=jnp.bfloat16)

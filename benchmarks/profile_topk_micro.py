@@ -25,12 +25,8 @@ _HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main(bs: int = 64, k: int = 1024, rounds: int = 10, iters: int = 8):
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(_HERE, ".jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from yolov5m_tpu.utils.misc import enable_compile_cache
+    enable_compile_cache()
 
     no = 85
     grid_sizes = [(80, 80), (40, 40), (20, 20)]

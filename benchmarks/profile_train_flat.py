@@ -27,12 +27,8 @@ _HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main(rounds: int = 8, iters: int = 4):
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(_HERE, ".jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from yolov5m_tpu.utils.misc import enable_compile_cache
+    enable_compile_cache()
 
     cfg = Config()
     model = YOLOv5(first_out=cfg.first_out, nc=cfg.nc, dtype=jnp.bfloat16)

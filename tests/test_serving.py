@@ -186,3 +186,50 @@ def test_serving_bad_input_is_per_request(served, rng):
         data = _jpeg(rng.integers(0, 255, (32, 32, 3), np.uint8))
         good = client.detect(data)
         assert good["ok"] is True
+
+
+def test_serving_oversized_frame_rides_the_fifo(served, rng, monkeypatch):
+    """An over-limit frame errors IN ORDER (not out-of-band ahead of queued
+    requests) and the connection stays framed and usable afterwards."""
+    import yolov5m_tpu.serving.server as srv_mod
+    monkeypatch.setattr(srv_mod, "_MAX_REQUEST", 16384)
+    server, fused, variables = served
+    small = _jpeg(rng.integers(0, 255, (24, 24, 3), np.uint8))
+    assert len(small) <= 16384
+    big = bytes(65536)  # > patched limit; payload still fully drained
+    with DetectionClient(port=server.port) as client:
+        # pipeline: good request first, oversized second — replies must
+        # come back in that order on this connection
+        client.send(small)
+        client.send(big)
+        first = client.recv()
+        second = client.recv()
+        assert first["ok"] is True
+        assert second["ok"] is False and "too large" in second["error"]
+        # connection still framed: a normal request succeeds
+        assert client.detect(small)["ok"] is True
+
+
+def test_serving_restart(rng):
+    """stop() then start() serves again (stop flag cleared, queue drained)."""
+    model = YOLOv5(first_out=8, nc=NC, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(2),
+                           jnp.zeros((1, S, S, 3), jnp.float32))
+    fused = model.clone(fused=True)
+    fused_vars = fold_batchnorm(variables)
+    server = DetectionServer(fused, fused_vars, normalized_anchors(),
+                             labels=LABELS, image_size=S, batch_size=2,
+                             max_wait_ms=5.0, **KW)
+    data = _jpeg(rng.integers(0, 255, (40, 40, 3), np.uint8))
+    server.start()
+    try:
+        with DetectionClient(port=server.port) as client:
+            assert client.detect(data)["ok"] is True
+    finally:
+        server.stop()
+    server.start(warmup=False)  # already compiled; may get a fresh port
+    try:
+        with DetectionClient(port=server.port) as client:
+            assert client.detect(data)["ok"] is True
+    finally:
+        server.stop()

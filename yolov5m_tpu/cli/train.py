@@ -315,6 +315,18 @@ def main(opt):
 
     evaluator = Evaluator(model, anchors_norm, cfg, anchors_px)
 
+    # one jitted program per image shape for the whole mosaic (key derivation
+    # included): eagerly composing random_mosaic_batch would cost ~11
+    # dispatches/step at ~4.1ms each on tunneled transports (CLAUDE.md)
+    mosaic_step = None
+    if device_mosaic and getattr(opt, "mosaic", 0.0) > 0:
+        from yolov5m_tpu.ops.mosaic import random_mosaic_batch
+
+        @jax.jit
+        def mosaic_step(seed, img, lab, msk):
+            key = jax.random.fold_in(jax.random.PRNGKey(0), seed)
+            return random_mosaic_batch(key, img, lab, msk, p=opt.mosaic)
+
     for epoch in range(starting_epoch, opt.epochs + starting_epoch):
         train_loader.set_epoch(epoch)  # re-randomize augs/sizes each epoch
         if not opt.only_eval:
@@ -329,14 +341,11 @@ def main(opt):
             chunk = []
             for idx, batch in enumerate(train_loader):
                 b = put(batch)
-                if device_mosaic and getattr(opt, "mosaic", 0.0) > 0 \
+                if mosaic_step is not None \
                         and b["image"].shape[1] == b["image"].shape[2]:
-                    from yolov5m_tpu.ops.mosaic import random_mosaic_batch
-                    mkey = jax.random.fold_in(
-                        jax.random.PRNGKey(0), epoch * 100000 + idx)
-                    img, lab, msk = random_mosaic_batch(
-                        mkey, b["image"], b["labels"], b["mask"],
-                        p=opt.mosaic)
+                    img, lab, msk = mosaic_step(
+                        epoch * 100000 + idx, b["image"], b["labels"],
+                        b["mask"])
                     b = {**b, "image": img, "labels": lab, "mask": msk}
                 state, metrics = step_fn(state, b["image"], b["labels"], b["mask"])
                 chunk.append(metrics["loss"])

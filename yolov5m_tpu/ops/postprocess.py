@@ -151,7 +151,10 @@ def fused_detect(
     gated = jnp.where(obj_logit > logit_thresh, obj_logit, NEG_INF)
     # "auto" = sort: the compact gate measured 0.888x of sort e2e on chip
     # (see _gate_compact docstring), so the full top_k is the default in
-    # every regime.
+    # every regime. Unknown strings are rejected — a silently-defaulted
+    # typo would corrupt an A/B measurement.
+    if gate not in ("auto", "sort", "compact"):
+        raise ValueError(f"gate must be auto|sort|compact, got {gate!r}")
     gate_fn = _gate_compact if gate == "compact" else _gate_topk_sort
     top_logits, top_idx, valid = gate_fn(gated, k)           # (bs, K)
 

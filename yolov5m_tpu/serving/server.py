@@ -122,6 +122,9 @@ class DetectionServer:
         self.max_wait_s = float(max_wait_ms) / 1e3
         self.overlap = bool(overlap)
         self._host, self._port = host, int(port)
+        # bind target for (re)start: a first start with port=0 must not pin
+        # the assigned ephemeral port (it can linger in TIME_WAIT on restart)
+        self._req_port = int(port)
 
         anchors_norm = jnp.asarray(anchors_norm)
         if pre_nms_topk is None:
@@ -148,10 +151,22 @@ class DetectionServer:
         self._stop = threading.Event()
         self._threads: List[threading.Thread] = []
         self._listener: Optional[socket.socket] = None
+        self._bufs: List[Optional[np.ndarray]] = [None, None]
+        self._buf_i = 0
 
     # -- lifecycle -----------------------------------------------------
 
     def start(self, warmup: bool = True) -> "DetectionServer":
+        # restartable: clear the stop flag and drain any sentinel a previous
+        # stop() left behind (the batcher can exit on the flag alone,
+        # leaving its _STOP unconsumed)
+        self._stop.clear()
+        while True:
+            try:
+                self._queue.get_nowait()
+            except queue.Empty:
+                break
+        self._threads = []
         if warmup:  # compile before accepting traffic (first jit is slow)
             x = self._jnp.zeros(
                 (self.batch_size, self.image_size, self.image_size, 3),
@@ -160,7 +175,7 @@ class DetectionServer:
             det.block_until_ready()
         self._listener = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._listener.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
-        self._listener.bind((self._host, self._port))
+        self._listener.bind((self._host, self._req_port))
         self._listener.listen(128)
         self._port = self._listener.getsockname()[1]
         for fn in (self._accept_loop, self._batch_loop):
@@ -216,9 +231,21 @@ class DetectionServer:
                 if n == 0:
                     return  # graceful close
                 if n > _MAX_REQUEST:
-                    self._send(conn, wlock,
-                               {"ok": False, "error": f"frame too large ({n} bytes)"})
-                    return
+                    # the error must ride the FIFO like any other response
+                    # (answering out-of-band here would jump ahead of this
+                    # connection's still-queued requests); drain the payload
+                    # so the stream stays framed and the connection usable
+                    item = _Pending(conn, wlock)
+                    item.error = f"frame too large ({n} bytes)"
+                    left = n
+                    while left > 0:
+                        chunk = conn.recv(min(left, 1 << 20))
+                        if not chunk:
+                            self._queue.put(item)
+                            return
+                        left -= len(chunk)
+                    self._queue.put(item)
+                    continue
                 data = _read_exact(conn, n)
                 if data is None:
                     return
@@ -293,11 +320,22 @@ class DetectionServer:
         det = valid = None
         if todo:
             try:
+                # two ping-pong host buffers (depth-1 pipeline => at most 2
+                # batches staged): no per-batch 157MB-at-bs=128 allocation.
+                # Stale padding rows are read by the device but their
+                # outputs are never consumed (only rows 0..len(todo)-1 are).
                 s = self.image_size
-                x = np.zeros((self.batch_size, s, s, 3), np.uint8)
+                if self._bufs[self._buf_i] is None:
+                    self._bufs[self._buf_i] = np.zeros(
+                        (self.batch_size, s, s, 3), np.uint8)
+                x = self._bufs[self._buf_i]
+                self._buf_i ^= 1
                 for i, item in enumerate(todo):
                     x[i] = item.image          # letterboxed uint8, as decoded
-                det, valid = self._infer(self._jnp.asarray(x))
+                # jnp.array (copy=True): jnp.asarray may zero-copy alias the
+                # numpy buffer on the CPU backend, and we mutate it again
+                # two batches later
+                det, valid = self._infer(self._jnp.array(x))
             except Exception as e:  # keep the batcher alive: fail the batch
                 for item in todo:
                     item.error = f"inference dispatch failed: {e}"
@@ -358,7 +396,16 @@ class DetectionClient:
         self._sock = socket.create_connection((host, port), timeout=timeout)
 
     def detect(self, image_bytes: bytes) -> dict:
+        self.send(image_bytes)
+        return self.recv()
+
+    def send(self, image_bytes: bytes) -> None:
+        """Enqueue one request without waiting — pair with recv() to
+        pipeline several requests per connection (responses come back in
+        send order)."""
         self._sock.sendall(_HDR.pack(len(image_bytes)) + image_bytes)
+
+    def recv(self) -> dict:
         hdr = _read_exact(self._sock, _HDR.size)
         if hdr is None:
             raise ConnectionError("server closed the connection")
