@@ -24,6 +24,48 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(restored["step"]) == 7
 
 
+def test_async_checkpointer_matches_sync_and_survives_donation(tmp_path):
+    """AsyncCheckpointer must snapshot before returning: a donated jit call
+    that invalidates the original buffers right after save() must not
+    corrupt the written checkpoint."""
+    import jax
+    from yolov5m_tpu.utils.checkpoint import AsyncCheckpointer
+
+    state = {"params": {"w": jnp.full((64, 64), 3.25)},
+             "step": jnp.asarray(11)}
+    ck = AsyncCheckpointer()
+    ck.save(state, str(tmp_path), "model_1", epoch=1, best_metric=0.5)
+
+    # immediately clobber the original buffers via donation
+    bump = jax.jit(lambda s: jax.tree.map(lambda x: x * 0 - 1, s),
+                   donate_argnums=0)
+    state = bump(state)
+    jax.block_until_ready(state)
+
+    ck.wait()
+    restored = load_checkpoint(
+        {"params": {"w": jnp.zeros((64, 64))}, "step": jnp.asarray(0)},
+        str(tmp_path), "model_1", 1)
+    np.testing.assert_allclose(np.asarray(restored["params"]["w"]), 3.25)
+    assert int(restored["step"]) == 11
+    # best checkpoint written too (best_metric improved over nothing)
+    assert os.path.isfile(os.path.join(tmp_path, "model_1",
+                                       "checkpoint_best.msgpack"))
+
+
+def test_async_checkpointer_surfaces_errors(tmp_path):
+    import pytest
+    from yolov5m_tpu.utils.checkpoint import AsyncCheckpointer
+
+    blocker = tmp_path / "model_x"
+    blocker.write_text("a file where the run DIRECTORY must go")
+    ck = AsyncCheckpointer()
+    ck.save(_state(), str(tmp_path), "model_x", epoch=1)
+    with pytest.raises(OSError):
+        ck.wait()
+    ck.wait()  # error is consumed, not re-raised forever
+
+
 def test_latest_epoch_and_resume(tmp_path):
     assert latest_epoch(str(tmp_path), "model_1") is None
     for e in (1, 2, 5):

@@ -153,8 +153,8 @@ def main(opt):
     from yolov5m_tpu.train.trainer import (
         accumulation_steps, create_train_state, make_optimizer, make_train_step)
     from yolov5m_tpu.utils import (
-        CSVLogger, latest_epoch, load_checkpoint, next_run_name, save_best,
-        save_checkpoint)
+        CSVLogger, latest_epoch, load_checkpoint, next_run_name)
+    from yolov5m_tpu.utils.checkpoint import AsyncCheckpointer
     from yolov5m_tpu.utils.plotting import save_prediction_images
 
     from yolov5m_tpu.models.yolo import FAMILY
@@ -314,6 +314,7 @@ def main(opt):
         put = lambda b: {k: jnp.asarray(v) for k, v in b.items()}  # noqa: E731
 
     evaluator = Evaluator(model, anchors_norm, cfg, anchors_px)
+    checkpointer = AsyncCheckpointer()
 
     # one jitted program per image shape for the whole mosaic (key derivation
     # included): eagerly composing random_mosaic_batch would cost ~11
@@ -392,12 +393,14 @@ def main(opt):
                                     decode_predictions, batched_nms, jnp)
 
         if not opt.nosavemodel:
-            save_checkpoint(state, ckpt_root, filename, epoch)
-            print("=> Saving checkpoint...")
-            best = save_best(state, ckpt_root, filename, epoch,
-                             results["map50"])
-            if best:
-                print(f"=> New best mAP50 {results['map50']:.4f} -> {best}")
+            # async: on-device snapshot now, fetch+serialize+write on a
+            # background thread while the next epoch trains; errors surface
+            # on the next save()/the final wait()
+            checkpointer.save(state, ckpt_root, filename, epoch,
+                              best_metric=results["map50"])
+            print("=> Saving checkpoint (async)...")
+
+    checkpointer.wait()  # last checkpoint durable before exit
 
 
 def _dump_prediction_images(model, variables, anchors_norm, cfg, val_loader,

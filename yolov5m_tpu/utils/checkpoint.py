@@ -98,6 +98,64 @@ def save_best(state: Any, folder_path: str, filename: str, epoch: int,
     return out
 
 
+class AsyncCheckpointer:
+    """Overlap checkpoint persistence with the next epoch's training
+    (orbax-style async checkpointing without the dependency).
+
+    save() snapshots the TrainState with an ON-DEVICE copy — the train
+    step donates its state buffers, and donation invalidates the ORIGINAL
+    arrays, never a copy — then the device→host fetch, serialization, and
+    atomic write all run on a background thread while the next epoch
+    trains. At most one write is in flight: a second save() (and wait())
+    joins the first and re-raises any error it hit. Call wait() once after
+    the epoch loop so the last checkpoint is durable before exit.
+    """
+
+    def __init__(self):
+        import threading
+        self._threading = threading
+        self._thread: Optional[Any] = None
+        self._err: Optional[BaseException] = None
+
+    def _snapshot(self, state: Any) -> Any:
+        import jax.numpy as jnp
+
+        return jax.tree.map(
+            lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x, state)
+
+    def save(self, state: Any, folder_path: str, filename: str, epoch: int,
+             best_metric: Optional[float] = None) -> None:
+        """Queue one checkpoint write (and, when best_metric is given, a
+        checkpoint_best update) for the given state."""
+        self.wait()
+        snap = self._snapshot(state)
+
+        def job():
+            try:
+                save_checkpoint(snap, folder_path, filename, epoch)
+                if best_metric is not None:
+                    best = save_best(snap, folder_path, filename, epoch,
+                                     best_metric)
+                    if best:
+                        print(f"=> New best mAP50 {best_metric:.4f} -> {best}",
+                              flush=True)
+            except BaseException as e:  # surfaced by the next wait()/save()
+                self._err = e
+
+        self._thread = self._threading.Thread(target=job, daemon=True)
+        self._thread.start()
+
+    def wait(self) -> None:
+        """Block until the in-flight write (if any) finished; re-raise its
+        error."""
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
+
 def strip_checkpoint(state: Any, keep_ema: bool = True) -> dict:
     """Deployment strip: keep only inference variables, cast params to
     bfloat16 (the reference's strip_model/half analog, utils/utils.py:25-28).
