@@ -171,8 +171,20 @@ def main(opt):
                  focal_gamma=getattr(opt, "focal_gamma", 0.0),
                  flat_optimizer=getattr(opt, "flat_opt", False))
 
+    # auto-remat at large batch: a bs>=96 640^2 backward's activation stash
+    # exceeds v5e HBM without rematerialization (measured OOM), and WITH it
+    # bs=128 trains 7-37% faster per bucket than bs=64 (equal-bucket
+    # multi-scale recipe: 497.9 img/s vs 411 — profile_train_scale.py).
+    # Remat is exact (grads bit-tested, tests/test_remat.py), so this only
+    # trades recompute for memory; scaled by image area so tiny test
+    # configs are untouched.
+    remat = getattr(opt, "remat", False)
+    if not remat and opt.bs * (cfg.image_size / 640.0) ** 2 >= 96:
+        remat = True
+        print("==> auto-enabling --remat (bs>=96-equivalent at this "
+              "image size needs it to fit HBM, and it measures faster)")
     model = YOLOv5(first_out=cfg.first_out, nc=cfg.nc, dtype=jnp.bfloat16,
-                   depth_mult=fam_dm, remat=getattr(opt, "remat", False))
+                   depth_mult=fam_dm, remat=remat)
     anchors_px = np.asarray(ANCHORS, np.float32)
     if getattr(opt, "autoanchor", False):
         from yolov5m_tpu.data.autoanchor import check_and_fit
