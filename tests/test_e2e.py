@@ -91,6 +91,34 @@ def test_detect_cli(dataset_root, tmp_path, monkeypatch, rng):
     assert len(outs) == 1
 
 
+def test_detect_cli_batched_dir(tmp_path, monkeypatch, rng):
+    """--img_dir --all: batched directory mode (uint8 device ingress,
+    pad-to-batch, per-image unletterboxed detections.json)."""
+    from yolov5m_tpu.cli import detect
+
+    monkeypatch.chdir(tmp_path)
+    img_dir = tmp_path / "imgs"
+    os.makedirs(img_dir)
+    for i, shape in enumerate(((90, 120, 3), (70, 50, 3), (64, 64, 3))):
+        Image.fromarray(rng.integers(0, 255, shape, np.uint8)).save(
+            img_dir / f"im{i}.jpg")
+
+    opt = types.SimpleNamespace(
+        checkpoint=None, weights=None, img=None, img_dir=str(img_dir),
+        all=True, bs=2, nc=4, labels="a,b,c,d", first_out=8, image_size=64,
+        conf=0.01, iou=0.45, save_pred=True, out=str(tmp_path / "dets"))
+    detect.main(opt)
+    with open(tmp_path / "dets" / "detections.json") as f:
+        results = json.load(f)
+    assert set(results) == {"im0.jpg", "im1.jpg", "im2.jpg"}
+    assert any(len(v) for v in results.values()), "no detections at conf=0.01"
+    # boxes are in ORIGINAL-image coordinates
+    for r in results["im0.jpg"]:
+        x1, y1, x2, y2 = r["box_xyxy"]
+        assert 0 <= x1 <= x2 <= 120 + 1 and 0 <= y1 <= y2 <= 90 + 1
+    assert len(list((tmp_path / "dets").glob("*_pred.png"))) == 3
+
+
 def test_train_cli_rect_and_ultralytics_loss(dataset_root, tmp_path, monkeypatch):
     """Rectangular batching + ultralytics loss through the full CLI path."""
     from yolov5m_tpu.cli.train import main

@@ -230,6 +230,9 @@ def _detect_dir(opt, model, variables, anchors_norm, cfg, labels):
 
     @jax.jit
     def infer(v, x):
+        # uint8 ingress, /255 on device: 1 byte/pixel host->device instead
+        # of 4 (exact — uint8->f32 then the same f32 division)
+        x = x.astype(jnp.float32) / 255.0
         preds = model.apply(v, x, train=False)
         return fused_detect(preds, anchors, conf_threshold=opt.conf,
                             iou_threshold=opt.iou,
@@ -250,8 +253,7 @@ def _detect_dir(opt, model, variables, anchors_norm, cfg, labels):
             batch[j] = img
             raws.append(raw)
             geoms.append((ratio, (dw, dh)))
-        det, valid = infer(variables,
-                           jnp.asarray(batch.astype(np.float32) / 255.0))
+        det, valid = infer(variables, jnp.asarray(batch))
         det, valid = np.asarray(det), np.asarray(valid)
         for j, name in enumerate(chunk):
             rows = det[j][valid[j]].copy()
