@@ -7,8 +7,10 @@ from yolov5m_tpu.parallel.dp import (
     shard_batch,
 )
 from yolov5m_tpu.parallel.infer import make_dp_infer_fn
-from yolov5m_tpu.parallel.sp import make_sp_infer_fn, make_sp_mesh
+from yolov5m_tpu.parallel.sp import (
+    make_sp_infer_fn, make_sp_mesh, make_sp_train_step)
 
 __all__ = ["initialize_multihost", "local_batch_slice", "make_mesh",
            "make_dp_train_step", "make_dp_infer_fn", "make_sp_infer_fn",
-           "make_sp_mesh", "replicate_state", "shard_batch"]
+           "make_sp_mesh", "make_sp_train_step", "replicate_state",
+           "shard_batch"]

@@ -108,3 +108,44 @@ def make_sp_infer_fn(model, variables, anchors_norm, mesh: Mesh,
                             pre_nms_topk=pre_nms_topk, backend=backend)
 
     return sp_infer
+
+
+def make_sp_train_step(model, loss_fn, optimizer, mesh: Mesh,
+                       accumulate: int = 1,
+                       spatial_axis: str = "spatial",
+                       data_axis: Optional[str] = "data") -> Callable:
+    """Spatially-partitioned TRAINING: jit the standard train step with the
+    image rows sharded over `spatial_axis` (and the batch over `data_axis`
+    when the mesh has one). GSPMD partitions the conv forward AND backward
+    with the halo exchanges each window op's gradient needs, and inserts
+    the cross-shard reductions for the loss, the gradients, and the
+    BatchNorm batch statistics automatically — SPMD partitioning preserves
+    program semantics exactly, so no pmean/psum plumbing appears here
+    (contrast parallel/dp.py, which runs per-shard functions under
+    shard_map and must reduce explicitly).
+
+    Use when ONE image's activations exceed a chip (large-canvas training,
+    e.g. 1280²+ aerial/document imagery — the training analog of
+    make_sp_infer_fn) or when the global batch is smaller than the mesh.
+    For batch >= mesh size, plain DP (parallel/dp.py) is faster: it needs
+    no halo traffic. Parity vs the single-device step is pinned by
+    tests/test_sp_train.py.
+
+    Returns `step(state, image, labels, mask) -> (state, metrics)` with the
+    TrainState replicated (donated) and labels/mask batch-sharded like the
+    images' batch dim.
+    """
+    from yolov5m_tpu.train.trainer import make_train_step
+
+    if data_axis is not None and data_axis not in mesh.axis_names:
+        data_axis = None
+
+    step = make_train_step(model, loss_fn, optimizer, accumulate)
+    repl = NamedSharding(mesh, P())
+    img_s = NamedSharding(mesh, P(data_axis, spatial_axis))
+    row_s = NamedSharding(mesh, P(data_axis))  # labels/mask: batch dim only
+
+    return jax.jit(step,
+                   in_shardings=(repl, img_s, row_s, row_s),
+                   out_shardings=(repl, repl),
+                   donate_argnums=0)
