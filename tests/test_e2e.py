@@ -66,6 +66,22 @@ def test_train_cli_one_epoch_and_resume(dataset_root, tmp_path, monkeypatch):
     assert len(eval_csv.strip().splitlines()) == 3  # header + 2 epochs
 
 
+def test_train_cli_sp_training(dataset_root, tmp_path, monkeypatch):
+    """--sp 2 --dp 2: spatially-partitioned training on a 2x2 (data,
+    spatial) mesh end-to-end through the CLI (GSPMD row sharding;
+    image_size=128 keeps >= 2 rows/shard at the P5 grid)."""
+    from yolov5m_tpu.cli.train import main
+
+    monkeypatch.chdir(tmp_path)
+    main(_opt(dataset_root, dp=2, sp=2, image_size=128, bs=2,
+              nosaveimgs=True, filename="sp_run"))
+    assert (tmp_path / "SAVED_CHECKPOINT" / "sp_run"
+            / "checkpoint_epoch_1.msgpack").is_file()
+    eval_csv = (tmp_path / "train_eval_metrics" / "sp_run"
+                / "eval.csv").read_text()
+    assert len(eval_csv.strip().splitlines()) == 2
+
+
 def test_train_cli_only_eval(dataset_root, tmp_path, monkeypatch):
     from yolov5m_tpu.cli.train import main
 

@@ -41,6 +41,12 @@ def arg_parser():
     # TPU-native extras
     p.add_argument("--dp", type=int, default=0,
                    help="data-parallel device count (0 = all available)")
+    p.add_argument("--sp", type=int, default=1,
+                   help="spatial-partitioning factor: shard the conv grid's "
+                        "row axis over this many devices (GSPMD halo "
+                        "exchange; composes with --dp on a 2-D mesh; for "
+                        "large-canvas training where one image's "
+                        "activations exceed a chip)")
     p.add_argument("--first_out", type=int, default=None,
                    help="width override (default: from --model)")
     p.add_argument("--model", type=str, default="m",
@@ -308,10 +314,22 @@ def main(opt):
                        kind="ultralytics" if opt.ultralytics_loss else "custom")
 
     n_dev = opt.dp or len(jax.devices())
+    n_sp = getattr(opt, "sp", 1)
     # donate_argnums=0: the loop always rebinds `state`, so the ~6 param-sized
     # state arrays (params, Adam moments, accum grads, EMA) update in place
     # instead of allocating fresh HBM every step
-    if n_dev > 1:
+    if n_sp > 1:
+        from yolov5m_tpu.parallel import make_sp_mesh, make_sp_train_step
+        assert not cfg.flat_optimizer, "--sp does not support --flat_opt"
+        n_data = opt.dp or max(len(jax.devices()) // n_sp, 1)
+        sp_mesh = make_sp_mesh(n_data=n_data, n_spatial=n_sp)
+        step_fn = make_sp_train_step(model, loss_fn, optimizer, sp_mesh,
+                                     accumulate,
+                                     data_axis="data" if n_data > 1 else None)
+        put = lambda b: {k: jnp.asarray(v) for k, v in b.items()}  # noqa: E731
+        print(f"==> spatially-partitioned training over a {n_data}x{n_sp} "
+              "(data, spatial) mesh")
+    elif n_dev > 1:
         mesh = make_mesh(n_dev)
         step_fn = make_dp_train_step(model, loss_fn, optimizer, mesh,
                                      accumulate, donate=True,
