@@ -44,6 +44,10 @@ def arg_parser():
                    help="keep live BatchNorm (debugging only)")
     p.add_argument("--no_overlap", action="store_true",
                    help="disable depth-1 batch pipelining (debugging only)")
+    p.add_argument("--dp", type=int, default=0,
+                   help="serve the batch data-parallel over N devices "
+                        "(0 = single device); --bs must divide N; use "
+                        "bs = 128 * N")
     p.add_argument("--anchors", type=str, default=None,
                    help="anchors.json from an --autoanchor run")
     return p.parse_args()
@@ -83,12 +87,18 @@ def main(opt):
     else:
         anchors = normalized_anchors()
 
+    dp_mesh = None
+    if getattr(opt, "dp", 0) and opt.dp > 1:
+        from yolov5m_tpu.parallel import make_mesh
+        dp_mesh = make_mesh(opt.dp)
+        print(f"==> data-parallel serving over {opt.dp} devices")
     server = DetectionServer(
         model, variables, anchors, labels=labels,
         image_size=opt.image_size, conf_threshold=opt.conf,
         iou_threshold=opt.iou, max_detections=cfg.max_detections,
         batch_size=opt.bs, max_wait_ms=opt.max_wait_ms,
-        overlap=not opt.no_overlap, host=opt.host, port=opt.port)
+        overlap=not opt.no_overlap, dp_mesh=dp_mesh,
+        host=opt.host, port=opt.port)
     print(f"==> compiling bs={opt.bs} pipeline ...", flush=True)
     server.start()
     print(f"==> serving on {opt.host}:{server.port} "

@@ -109,8 +109,15 @@ class DetectionServer:
                  batch_size: int = 16,
                  max_wait_ms: float = 5.0,
                  overlap: bool = True,
+                 dp_mesh=None,
                  host: str = "127.0.0.1",
                  port: int = 0):
+        """dp_mesh: a jax.sharding.Mesh with a "data" axis — the device
+        batch is then served by parallel/infer.py's shard_mapped pipeline
+        (params replicated, batch sharded, zero collectives), so N chips
+        serve N× the single-chip throughput behind one socket. batch_size
+        must divide by the mesh size; 128 per device is the measured
+        optimum."""
         import jax
         import jax.numpy as jnp
         from yolov5m_tpu.config import Config
@@ -130,20 +137,35 @@ class DetectionServer:
         if pre_nms_topk is None:
             pre_nms_topk = Config().topk_for_conf(conf_threshold)
 
-        @jax.jit
-        def infer(x):
-            # uint8 ingress: the normalize runs on device so the host→device
-            # transfer is 1 byte/pixel instead of 4 (at bs=128/640² that is
-            # 157 MB vs 629 MB per batch — PCIe/tunnel bound in production).
-            # Bit-identical to host-side float division: uint8→f32 is exact
-            # and /255.0 is the same f32 op either side.
-            x = x.astype(jnp.float32) / 255.0
-            preds = model.apply(variables, x, train=False)
-            return fused_detect(preds, anchors_norm,
-                                conf_threshold=conf_threshold,
-                                iou_threshold=iou_threshold,
-                                max_detections=max_detections,
-                                pre_nms_topk=pre_nms_topk)
+        if dp_mesh is not None:
+            from yolov5m_tpu.parallel import make_dp_infer_fn
+            assert self.batch_size % dp_mesh.size == 0, \
+                f"batch_size {batch_size} must divide mesh size {dp_mesh.size}"
+            dp_infer = make_dp_infer_fn(
+                model, variables, anchors_norm, dp_mesh,
+                conf_threshold=conf_threshold, iou_threshold=iou_threshold,
+                max_detections=max_detections, pre_nms_topk=pre_nms_topk)
+
+            @jax.jit
+            def infer(x):
+                # same uint8 ingress as below; normalize before the DP fan-out
+                return dp_infer(x.astype(jnp.float32) / 255.0)
+        else:
+            @jax.jit
+            def infer(x):
+                # uint8 ingress: the normalize runs on device so the
+                # host→device transfer is 1 byte/pixel instead of 4 (at
+                # bs=128/640² that is 157 MB vs 629 MB per batch —
+                # PCIe/tunnel bound in production). Bit-identical to
+                # host-side float division: uint8→f32 is exact and /255.0
+                # is the same f32 op either side.
+                x = x.astype(jnp.float32) / 255.0
+                preds = model.apply(variables, x, train=False)
+                return fused_detect(preds, anchors_norm,
+                                    conf_threshold=conf_threshold,
+                                    iou_threshold=iou_threshold,
+                                    max_detections=max_detections,
+                                    pre_nms_topk=pre_nms_topk)
 
         self._infer = infer
         self._jnp = jnp
