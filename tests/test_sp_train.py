@@ -146,8 +146,8 @@ def test_sp_train_grads_semantically_exact_f64(rng):
     semantic difference in the partitioned program."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    if not jax.config.jax_enable_x64:
-        jax.config.update("jax_enable_x64", True)
+    entry_x64 = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
     try:
         bs = 4
         model = YOLOv5(first_out=8, nc=NC, dtype=jnp.float64)
@@ -188,4 +188,4 @@ def test_sp_train_grads_semantically_exact_f64(rng):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-3, rtol=1e-3)
     finally:
-        jax.config.update("jax_enable_x64", False)
+        jax.config.update("jax_enable_x64", entry_x64)

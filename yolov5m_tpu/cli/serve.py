@@ -46,8 +46,8 @@ def arg_parser():
                    help="disable depth-1 batch pipelining (debugging only)")
     p.add_argument("--dp", type=int, default=0,
                    help="serve the batch data-parallel over N devices "
-                        "(0 = single device); --bs must divide N; use "
-                        "bs = 128 * N")
+                        "(0 = single device); --bs must be a multiple of "
+                        "N; use bs = 128 * N")
     p.add_argument("--anchors", type=str, default=None,
                    help="anchors.json from an --autoanchor run")
     return p.parse_args()

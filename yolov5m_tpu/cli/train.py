@@ -96,6 +96,10 @@ def arg_parser():
                         "smooth_BCE; reference has none)")
     p.add_argument("--focal_gamma", type=float, default=0.0,
                    help="focal-loss gamma for cls/obj BCE (0 = plain BCE)")
+    p.add_argument("--no_remat", action="store_true",
+                   help="disable the automatic remat at large per-device "
+                        "batches (will OOM at bs>=96-equivalent per device "
+                        "at 640^2 on v5e)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize C3 stacks in the backward pass "
                         "(trade FLOPs for HBM; enables l/x at 640 batches)")
@@ -177,18 +181,27 @@ def main(opt):
                  focal_gamma=getattr(opt, "focal_gamma", 0.0),
                  flat_optimizer=getattr(opt, "flat_opt", False))
 
-    # auto-remat at large batch: a bs>=96 640^2 backward's activation stash
-    # exceeds v5e HBM without rematerialization (measured OOM), and WITH it
-    # bs=128 trains 7-37% faster per bucket than bs=64 (equal-bucket
-    # multi-scale recipe: 497.9 img/s vs 411 — profile_train_scale.py).
-    # Remat is exact (grads bit-tested, tests/test_remat.py), so this only
-    # trades recompute for memory; scaled by image area so tiny test
-    # configs are untouched.
+    # auto-remat at large PER-DEVICE batch: a bs>=96 640^2 backward's
+    # activation stash exceeds v5e HBM without rematerialization (measured
+    # OOM), and WITH it bs=128 trains 7-37% faster per bucket than bs=64
+    # (equal-bucket multi-scale recipe: 497.9 img/s vs 411 —
+    # profile_train_scale.py). Remat is exact (grads bit-tested,
+    # tests/test_remat.py), so this only trades recompute for memory.
+    # HBM pressure is per device: divide by the dp/sp factors so an
+    # 8-chip --bs 512 run (64/device) is not penalized; scale by image
+    # area so tiny test configs are untouched. --no_remat opts out.
     remat = getattr(opt, "remat", False)
-    if not remat and opt.bs * (cfg.image_size / 640.0) ** 2 >= 96:
+    # same device-count resolution the step-builder below uses (dp=0 = all)
+    _sp = max(getattr(opt, "sp", 1), 1)
+    _dp = getattr(opt, "dp", 0) or max(len(jax.devices()) // _sp, 1)
+    n_shards = _dp * _sp
+    per_device_load = opt.bs * (cfg.image_size / 640.0) ** 2 / n_shards
+    if not remat and not getattr(opt, "no_remat", False) \
+            and per_device_load >= 96:
         remat = True
-        print("==> auto-enabling --remat (bs>=96-equivalent at this "
-              "image size needs it to fit HBM, and it measures faster)")
+        print("==> auto-enabling --remat (>=96 bs-equivalent per device at "
+              "this image size needs it to fit HBM, and it measures "
+              "faster; --no_remat to opt out)")
     model = YOLOv5(first_out=cfg.first_out, nc=cfg.nc, dtype=jnp.bfloat16,
                    depth_mult=fam_dm, remat=remat)
     anchors_px = np.asarray(ANCHORS, np.float32)
@@ -358,79 +371,84 @@ def main(opt):
             key = jax.random.fold_in(jax.random.PRNGKey(0), seed)
             return random_mosaic_batch(key, img, lab, msk, p=opt.mosaic)
 
-    for epoch in range(starting_epoch, opt.epochs + starting_epoch):
-        train_loader.set_epoch(epoch)  # re-randomize augs/sizes each epoch
-        if not opt.only_eval:
-            t0 = time.time()
-            epoch_loss, nb = 0.0, 0
-            t_step = time.time()
-            # Per-step float(metrics[...]) would block the host on every step
-            # and serialize it with the device pipeline (ruinous over
-            # tunneled/remote transports). Instead keep the device-side loss
-            # scalars and fetch one stacked chunk per print interval — a
-            # single sync per 10 steps, which also bounds host run-ahead.
-            chunk = []
-            for idx, batch in enumerate(train_loader):
-                b = put(batch)
-                if mosaic_step is not None \
-                        and b["image"].shape[1] == b["image"].shape[2]:
-                    img, lab, msk = mosaic_step(
-                        epoch * 100000 + idx, b["image"], b["labels"],
-                        b["mask"])
-                    b = {**b, "image": img, "labels": lab, "mask": msk}
-                state, metrics = step_fn(state, b["image"], b["labels"], b["mask"])
-                chunk.append(metrics["loss"])
-                nb += 1
-                if idx % 10 == 0:
-                    losses = jax.device_get(jnp.stack(chunk))
-                    epoch_loss += float(losses.sum())
-                    chunk = []
-                    dt = time.time() - t_step
-                    ips = 10 * opt.bs / dt if idx else opt.bs / dt
-                    t_step = time.time()
-                    print(f"epoch {epoch} [{idx}/{len(train_loader)}] "
-                          f"loss {float(losses[-1]):.4f} "
-                          f"gnorm {float(metrics['grad_norm']):.2f} "
-                          f"{ips:.1f} img/s",
-                          flush=True)
-                if save_logs and idx % 100 == 0:
-                    logger.log_loss(epoch, idx, float(metrics["box"]),
-                                    float(metrics["obj"]), float(metrics["cls"]))
-            if chunk:
-                epoch_loss += float(jax.device_get(jnp.stack(chunk)).sum())
-            print(f"==> epoch {epoch} training_loss: {epoch_loss / max(nb,1):.2f} "
-                  f"({time.time()-t0:.0f}s)")
+    try:
+        for epoch in range(starting_epoch, opt.epochs + starting_epoch):
+            train_loader.set_epoch(epoch)  # re-randomize augs/sizes each epoch
+            if not opt.only_eval:
+                t0 = time.time()
+                epoch_loss, nb = 0.0, 0
+                t_step = time.time()
+                # Per-step float(metrics[...]) would block the host on every step
+                # and serialize it with the device pipeline (ruinous over
+                # tunneled/remote transports). Instead keep the device-side loss
+                # scalars and fetch one stacked chunk per print interval — a
+                # single sync per 10 steps, which also bounds host run-ahead.
+                chunk = []
+                for idx, batch in enumerate(train_loader):
+                    b = put(batch)
+                    if mosaic_step is not None \
+                            and b["image"].shape[1] == b["image"].shape[2]:
+                        img, lab, msk = mosaic_step(
+                            epoch * 100000 + idx, b["image"], b["labels"],
+                            b["mask"])
+                        b = {**b, "image": img, "labels": lab, "mask": msk}
+                    state, metrics = step_fn(state, b["image"], b["labels"], b["mask"])
+                    chunk.append(metrics["loss"])
+                    nb += 1
+                    if idx % 10 == 0:
+                        losses = jax.device_get(jnp.stack(chunk))
+                        epoch_loss += float(losses.sum())
+                        chunk = []
+                        dt = time.time() - t_step
+                        ips = 10 * opt.bs / dt if idx else opt.bs / dt
+                        t_step = time.time()
+                        print(f"epoch {epoch} [{idx}/{len(train_loader)}] "
+                              f"loss {float(losses[-1]):.4f} "
+                              f"gnorm {float(metrics['grad_norm']):.2f} "
+                              f"{ips:.1f} img/s",
+                              flush=True)
+                    if save_logs and idx % 100 == 0:
+                        logger.log_loss(epoch, idx, float(metrics["box"]),
+                                        float(metrics["obj"]), float(metrics["cls"]))
+                if chunk:
+                    epoch_loss += float(jax.device_get(jnp.stack(chunk)).sum())
+                print(f"==> epoch {epoch} training_loss: {epoch_loss / max(nb,1):.2f} "
+                      f"({time.time()-t0:.0f}s)")
 
-        variables = {"params": state.eval_params, "batch_stats": state.batch_stats}
-        cm_path = (os.path.join("train_eval_metrics", filename,
-                                f"confusion_epoch_{epoch}.csv")
-                   if getattr(opt, "confusion", False) and save_logs else None)
-        results = evaluator.run(
-            variables, val_loader,
-            coco_dump_dir=getattr(opt, "coco_dump", None), class_names=labels,
-            confusion_csv=cm_path)
-        print(f"Class accuracy: {results['class_accuracy']*100:.2f}%")
-        print(f"Obj accuracy: {results['obj_accuracy']*100:.2f}%")
-        print(f"MAP50: {results['map50']:.4f}, MAP75: {results['map75']:.4f}")
-        if save_logs:
-            logger.log_eval(epoch, results["class_accuracy"],
-                            results["obj_accuracy"], results["map50"],
-                            results["map75"])
+            variables = {"params": state.eval_params, "batch_stats": state.batch_stats}
+            cm_path = (os.path.join("train_eval_metrics", filename,
+                                    f"confusion_epoch_{epoch}.csv")
+                       if getattr(opt, "confusion", False) and save_logs else None)
+            results = evaluator.run(
+                variables, val_loader,
+                coco_dump_dir=getattr(opt, "coco_dump", None), class_names=labels,
+                confusion_csv=cm_path)
+            print(f"Class accuracy: {results['class_accuracy']*100:.2f}%")
+            print(f"Obj accuracy: {results['obj_accuracy']*100:.2f}%")
+            print(f"MAP50: {results['map50']:.4f}, MAP75: {results['map75']:.4f}")
+            if save_logs:
+                logger.log_eval(epoch, results["class_accuracy"],
+                                results["obj_accuracy"], results["map50"],
+                                results["map75"])
 
-        if not opt.nosaveimgs:
-            _dump_prediction_images(model, variables, anchors_norm, cfg,
-                                    val_loader, filename, epoch, labels,
-                                    decode_predictions, batched_nms, jnp)
+            if not opt.nosaveimgs:
+                _dump_prediction_images(model, variables, anchors_norm, cfg,
+                                        val_loader, filename, epoch, labels,
+                                        decode_predictions, batched_nms, jnp)
 
-        if not opt.nosavemodel:
-            # async: on-device snapshot now, fetch+serialize+write on a
-            # background thread while the next epoch trains; errors surface
-            # on the next save()/the final wait()
-            checkpointer.save(state, ckpt_root, filename, epoch,
-                              best_metric=results["map50"])
-            print("=> Saving checkpoint (async)...")
+            if not opt.nosavemodel:
+                # async: on-device snapshot now, fetch+serialize+write on a
+                # background thread while the next epoch trains; errors surface
+                # on the next save()/the final wait()
+                checkpointer.save(state, ckpt_root, filename, epoch,
+                                  best_metric=results["map50"])
+                print("=> Saving checkpoint (async)...")
 
-    checkpointer.wait()  # last checkpoint durable before exit
+    finally:
+        # durability: a crash mid-epoch must not lose the previous
+        # epoch's in-flight async checkpoint write (the daemon thread
+        # dies with the process; join it before unwinding)
+        checkpointer.wait()
 
 
 def _dump_prediction_images(model, variables, anchors_norm, cfg, val_loader,

@@ -54,6 +54,12 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            # never truncate silently: the caller sized batches/throughput
+            # expectations to n_devices
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} devices are available ({devices})")
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis,))
 

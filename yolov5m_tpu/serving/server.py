@@ -116,8 +116,8 @@ class DetectionServer:
         batch is then served by parallel/infer.py's shard_mapped pipeline
         (params replicated, batch sharded, zero collectives), so N chips
         serve N× the single-chip throughput behind one socket. batch_size
-        must divide by the mesh size; 128 per device is the measured
-        optimum."""
+        must be a MULTIPLE of the mesh size; 128 per device is the
+        measured optimum."""
         import jax
         import jax.numpy as jnp
         from yolov5m_tpu.config import Config
@@ -140,7 +140,8 @@ class DetectionServer:
         if dp_mesh is not None:
             from yolov5m_tpu.parallel import make_dp_infer_fn
             assert self.batch_size % dp_mesh.size == 0, \
-                f"batch_size {batch_size} must divide mesh size {dp_mesh.size}"
+                (f"batch_size {batch_size} must be a multiple of the mesh "
+                 f"size {dp_mesh.size}")
             dp_infer = make_dp_infer_fn(
                 model, variables, anchors_norm, dp_mesh,
                 conf_threshold=conf_threshold, iou_threshold=iou_threshold,

@@ -116,12 +116,21 @@ class AsyncCheckpointer:
         self._threading = threading
         self._thread: Optional[Any] = None
         self._err: Optional[BaseException] = None
+        self._copy_jit = None
 
     def _snapshot(self, state: Any) -> Any:
         import jax.numpy as jnp
 
-        return jax.tree.map(
-            lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x, state)
+        # ONE jitted program for the whole-tree copy: an eager per-leaf
+        # jnp.copy would be ~1400 dispatches at ~4ms each on tunneled
+        # transports (CLAUDE.md), blocking the training thread for seconds
+        leaves, treedef = jax.tree_util.tree_flatten(state)
+        is_arr = [isinstance(x, jax.Array) for x in leaves]
+        if self._copy_jit is None:
+            self._copy_jit = jax.jit(lambda xs: [jnp.copy(x) for x in xs])
+        copied = iter(self._copy_jit([x for x, a in zip(leaves, is_arr) if a]))
+        out = [next(copied) if a else x for x, a in zip(leaves, is_arr)]
+        return jax.tree_util.tree_unflatten(treedef, out)
 
     def save(self, state: Any, folder_path: str, filename: str, epoch: int,
              best_metric: Optional[float] = None) -> None:
