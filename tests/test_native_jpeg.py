@@ -60,3 +60,18 @@ def test_load_image_rgb_jpeg_and_png(tmp_path, rng):
     pp = tmp_path / "b.png"
     Image.fromarray(arr).save(pp, "PNG")
     np.testing.assert_array_equal(load_image_rgb(str(pp)), arr)  # PIL path
+
+
+def test_packaged_native_mirror_is_identical():
+    """yolov5m_tpu/_native_src/* (what pip wheels ship) must stay
+    byte-identical to the canonical /native sources it mirrors."""
+    import os
+    import yolov5m_tpu
+
+    pkg = os.path.join(os.path.dirname(yolov5m_tpu.__file__), "_native_src")
+    repo = os.path.join(os.path.dirname(os.path.dirname(yolov5m_tpu.__file__)),
+                        "native")
+    for name in ("preprocess.cc", "Makefile"):
+        with open(os.path.join(pkg, name), "rb") as a, \
+                open(os.path.join(repo, name), "rb") as b:
+            assert a.read() == b.read(), f"{name} drifted from native/{name}"

@@ -281,5 +281,10 @@ def _detect_dir(opt, model, variables, anchors_norm, cfg, labels):
         print(f"saved {opt.out}/detections.json")
 
 
+def cli():
+    """Console-script entry point (pyproject.toml [project.scripts])."""
+    main(arg_parser())
+
+
 if __name__ == "__main__":
     main(arg_parser())

@@ -81,5 +81,10 @@ def main(opt):
         print(f"wrote StableHLO: {path}")
 
 
+def cli():
+    """Console-script entry point (pyproject.toml [project.scripts])."""
+    main(arg_parser())
+
+
 if __name__ == "__main__":
     main(arg_parser())

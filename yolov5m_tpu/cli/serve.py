@@ -112,5 +112,10 @@ def main(opt):
         server.stop()
 
 
+def cli():
+    """Console-script entry point (pyproject.toml [project.scripts])."""
+    main(arg_parser())
+
+
 if __name__ == "__main__":
     main(arg_parser())

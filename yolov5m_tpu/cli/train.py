@@ -499,5 +499,10 @@ def _dump_prediction_images(model, variables, anchors_norm, cfg, val_loader,
 _dump_prediction_images._viz_cache = {}
 
 
+def cli():
+    """Console-script entry point (pyproject.toml [project.scripts])."""
+    main(arg_parser())
+
+
 if __name__ == "__main__":
     main(arg_parser())

@@ -16,7 +16,15 @@ from typing import Optional, Tuple
 import numpy as np
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_PKG_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# canonical source lives at {repo}/native; pip-installed wheels carry a
+# test-pinned mirror inside the package (yolov5m_tpu/_native_src) so the
+# kernel still builds from source outside a repo checkout
+_NATIVE_CANDIDATES = (os.path.join(_REPO_ROOT, "native"),
+                      os.path.join(_PKG_ROOT, "_native_src"))
+_NATIVE_DIR = next((d for d in _NATIVE_CANDIDATES
+                    if os.path.isfile(os.path.join(d, "preprocess.cc"))),
+                   _NATIVE_CANDIDATES[0])
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libyolopreproc.so")
 
 _lib: Optional[ctypes.CDLL] = None
