@@ -71,7 +71,29 @@ def test_packaged_native_mirror_is_identical():
     pkg = os.path.join(os.path.dirname(yolov5m_tpu.__file__), "_native_src")
     repo = os.path.join(os.path.dirname(os.path.dirname(yolov5m_tpu.__file__)),
                         "native")
+    if not os.path.isdir(repo):
+        pytest.skip("no repo checkout next to the package (pip install)")
     for name in ("preprocess.cc", "Makefile"):
         with open(os.path.join(pkg, name), "rb") as a, \
                 open(os.path.join(repo, name), "rb") as b:
             assert a.read() == b.read(), f"{name} drifted from native/{name}"
+
+
+def test_native_builds_into_cache_when_source_dir_readonly(monkeypatch,
+                                                           tmp_path):
+    """pip wheels land in read-only site-packages: the kernel must build
+    into the per-user cache dir instead of failing (and still load)."""
+    import os as _os
+    import yolov5m_tpu.data.native as nat
+
+    orig = (nat._lib, nat._lib_tried, nat._LIB_PATH)
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+    monkeypatch.setattr(_os, "access", lambda p, m: False)
+    try:
+        nat._lib, nat._lib_tried = None, False
+        lib = nat._load_lib()
+        assert nat._LIB_PATH.startswith(str(tmp_path))
+        assert _os.path.isfile(nat._LIB_PATH)
+        assert lib is not None, "kernel failed to build into the cache dir"
+    finally:
+        nat._lib, nat._lib_tried, nat._LIB_PATH = orig

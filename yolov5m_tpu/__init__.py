@@ -12,7 +12,7 @@ checkpoint/resume, train/detect CLIs), re-designed TPU-first:
   reduction over ICI (the single-device reference has no parallelism).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"  # single source of truth (pyproject reads it)
 
 from yolov5m_tpu.config import Config, ANCHORS, COCO_LABELS, FLIR_LABELS
 

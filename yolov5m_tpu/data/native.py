@@ -31,8 +31,23 @@ _lib: Optional[ctypes.CDLL] = None
 _lib_tried = False
 
 
+def _build_dir() -> str:
+    """Where to build/load the .so: next to the source when writable (repo
+    checkout), else a per-user cache dir (pip install into a read-only
+    site-packages must not fail, and pip uninstall must not orphan a .so
+    outside the wheel RECORD)."""
+    if os.access(_NATIVE_DIR, os.W_OK):
+        return _NATIVE_DIR
+    cache = os.path.join(
+        os.environ.get("XDG_CACHE_HOME",
+                       os.path.join(os.path.expanduser("~"), ".cache")),
+        "yolov5m_tpu", "native")
+    os.makedirs(cache, exist_ok=True)
+    return cache
+
+
 def _load_lib() -> Optional[ctypes.CDLL]:
-    global _lib, _lib_tried
+    global _lib, _lib_tried, _LIB_PATH
     if _lib_tried:
         return _lib
     _lib_tried = True
@@ -40,13 +55,17 @@ def _load_lib() -> Optional[ctypes.CDLL]:
         # always (re)build from source when the .so is missing or older than
         # preprocess.cc — the binary is never version-controlled (gitignored),
         # so what loads is provably what the checked-in source produces
+        build_dir = _build_dir()
+        _LIB_PATH = os.path.join(build_dir, "libyolopreproc.so")
         src = os.path.join(_NATIVE_DIR, "preprocess.cc")
         stale = (not os.path.isfile(_LIB_PATH)
                  or (os.path.isfile(src)
                      and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)))
         if stale and os.path.isfile(os.path.join(_NATIVE_DIR, "Makefile")):
-            subprocess.run(["make", "-C", _NATIVE_DIR, "-B"], check=True,
-                           capture_output=True, timeout=120)
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR, "-B",
+                 f"TARGET={_LIB_PATH}"],
+                check=True, capture_output=True, timeout=120)
         lib = ctypes.CDLL(_LIB_PATH)
         u8p = ctypes.POINTER(ctypes.c_uint8)
         lib.resize_bilinear_u8.argtypes = [u8p, ctypes.c_int, ctypes.c_int,
@@ -65,7 +84,11 @@ def _load_lib() -> Optional[ctypes.CDLL]:
                                        ctypes.c_int, ctypes.c_int]
         lib.decode_jpeg_u8.restype = ctypes.c_int
         _lib = lib
-    except Exception:
+    except Exception as e:
+        import warnings
+        warnings.warn(
+            f"native preprocessing kernel unavailable ({type(e).__name__}: "
+            f"{e}); falling back to cv2/numpy (slower host data plane)")
         _lib = None
     return _lib
 
