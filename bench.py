@@ -188,11 +188,18 @@ def main(batch_size: int = 128, warmup_rounds: int = 2) -> None:
             if n_round >= warmup_rounds:   # fixed warmup, value-independent
                 per_arm[name].append(
                     batch_size * CHAIN_LEN * SEG_CALLS / dt)
+            # deadline checked between ARMS too: in a degraded chip window a
+            # single arm segment can take minutes, and overrunning the
+            # budget by a whole round risks the caller's own process timeout
+            # (observed 2026-08-18: a 900s-budget run exceeded 30 min)
+            if time.time() > deadline and per_arm[default_backend]:
+                break
         n_round += 1
-        # honor the deadline only once at least ONE measured round exists:
-        # on a degraded window where warmup alone eats the budget, an empty
-        # capture would crash the median below and print no JSON at all
-        if time.time() > deadline and n_round > warmup_rounds:
+        # honor the deadline only once at least ONE measured round of the
+        # headline arm exists: on a degraded window where warmup alone eats
+        # the budget, an empty capture would crash the median below and
+        # print no JSON at all
+        if time.time() > deadline and per_arm[default_backend]:
             break
 
     # lane-forensics probe AFTER measurement (subprocess; a hung probe must
