@@ -184,3 +184,18 @@ def test_train_cli_device_mosaic(dataset_root, tmp_path, monkeypatch):
     opt.device_mosaic = True
     monkeypatch.chdir(tmp_path)
     main(opt)
+
+
+def test_train_cli_device_augment(dataset_root, tmp_path, monkeypatch):
+    """--device_augment: mosaic + HSV + flips all on device in one jitted
+    step (host loader's flips/HSV disabled)."""
+    from yolov5m_tpu.cli.train import main
+
+    opt = _opt(dataset_root, nosaveimgs=True, nosavemodel=True,
+               nosavelogs=True, filename="da_run")
+    opt.mosaic = 1.0
+    opt.hsv = True
+    opt.device_mosaic = True
+    opt.device_augment = True
+    monkeypatch.chdir(tmp_path)
+    main(opt)

@@ -67,6 +67,12 @@ def arg_parser():
                    help="run mosaic-4 on device as XLA preprocessing "
                         "(ops/mosaic.py; host-parity tested) instead of in "
                         "the host loader; partners sample from the batch")
+    p.add_argument("--device_augment", action="store_true",
+                   help="run HSV jitter (with --hsv) and horizontal/vertical "
+                        "flips on device as XLA preprocessing "
+                        "(ops/augment_device.py; host-parity tested) — the "
+                        "host loader's flips/HSV are disabled; composes with "
+                        "--device_mosaic into one jitted program per shape")
     p.add_argument("--multi_scale", type=str, default="auto",
                    help="comma-separated multi-scale sizes (e.g. 512,576,640);"
                         " static jit buckets replacing the reference's random"
@@ -236,12 +242,14 @@ def main(opt):
     if ms_sizes:
         print(f"==> multi-scale buckets: {ms_sizes}")
     device_mosaic = getattr(opt, "device_mosaic", False)
+    device_augment = getattr(opt, "device_augment", False)
     train_loader, val_loader = get_loaders(
         root, opt.bs, rect_training=opt.rect, box_format=opt.box_format,
         max_boxes=opt.max_boxes, default_size=opt.image_size,
         multi_scale_sizes=ms_sizes, num_workers=opt.nw,
         mosaic_p=0.0 if device_mosaic else getattr(opt, "mosaic", 0.0),
-        hsv=getattr(opt, "hsv", False))
+        hsv=getattr(opt, "hsv", False) and not device_augment,
+        device_augment=device_augment)
 
     # run naming + resume epoch resolved BEFORE the optimizer: the restored
     # schedule count is (last * opt_steps_per_epoch), so a cosine horizon
@@ -359,17 +367,23 @@ def main(opt):
     evaluator = Evaluator(model, anchors_norm, cfg, anchors_px)
     checkpointer = AsyncCheckpointer()
 
-    # one jitted program per image shape for the whole mosaic (key derivation
-    # included): eagerly composing random_mosaic_batch would cost ~11
-    # dispatches/step at ~4.1ms each on tunneled transports (CLAUDE.md)
+    # one jitted program per image shape for ALL device augmentations (key
+    # derivation included): eagerly composing random_mosaic_batch would cost
+    # ~11 dispatches/step at ~4.1ms each on tunneled transports (CLAUDE.md)
     mosaic_step = None
-    if device_mosaic and getattr(opt, "mosaic", 0.0) > 0:
-        from yolov5m_tpu.ops.mosaic import random_mosaic_batch
+    if (device_mosaic and getattr(opt, "mosaic", 0.0) > 0) or device_augment:
+        from yolov5m_tpu.ops.augment_device import device_augment_batch
+
+        dev_mosaic_p = opt.mosaic if device_mosaic else 0.0
+        dev_hsv = bool(getattr(opt, "hsv", False)) and device_augment
+        dev_flip = 0.5 if device_augment else 0.0
 
         @jax.jit
         def mosaic_step(seed, img, lab, msk):
             key = jax.random.fold_in(jax.random.PRNGKey(0), seed)
-            return random_mosaic_batch(key, img, lab, msk, p=opt.mosaic)
+            return device_augment_batch(
+                key, img, lab, msk, mosaic_p=dev_mosaic_p, hsv=dev_hsv,
+                hflip_p=dev_flip, vflip_p=dev_flip)
 
     try:
         for epoch in range(starting_epoch, opt.epochs + starting_epoch):

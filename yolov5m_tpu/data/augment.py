@@ -156,11 +156,15 @@ class TrainAugment:
 
 def augment_hsv(img: np.ndarray, rng: np.random.Generator,
                 hgain: float = 0.015, sgain: float = 0.7,
-                vgain: float = 0.4) -> np.ndarray:
-    """Random HSV gains (Ultralytics hyp.scratch defaults). Requires cv2."""
+                vgain: float = 0.4, gains: np.ndarray = None) -> np.ndarray:
+    """Random HSV gains (Ultralytics hyp.scratch defaults). Requires cv2.
+
+    gains: optional explicit (r_h, r_s, r_v) — used by the parity test
+    against the on-device implementation (ops/augment_device.py)."""
     if cv2 is None:
         return img
-    r = rng.uniform(-1, 1, 3) * [hgain, sgain, vgain] + 1
+    r = gains if gains is not None \
+        else rng.uniform(-1, 1, 3) * [hgain, sgain, vgain] + 1
     hue, sat, val = cv2.split(
         cv2.cvtColor(np.clip(img, 0, 255).astype(np.uint8), cv2.COLOR_RGB2HSV))
     x = np.arange(256)

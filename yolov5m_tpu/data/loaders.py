@@ -35,8 +35,14 @@ def get_loaders(
     num_workers: int = 0,
     mosaic_p: float = 0.0,
     hsv: bool = False,
+    device_augment: bool = False,
 ) -> Tuple[BatchLoader, BatchLoader]:
-    """Build train/val BatchLoaders over the standard directory layout."""
+    """Build train/val BatchLoaders over the standard directory layout.
+
+    device_augment: flips (and HSV, via the hsv flag upstream) run on device
+    (ops/augment_device.py) — the host TrainAugment keeps its cv2-only
+    low-probability ops (rotate/blur/CLAHE/posterize/channel-shuffle) but
+    drops its flips so the batch isn't double-flipped."""
     train_ds = DetectionDataset(
         root_directory=db_root_dir, train=True, rect_training=rect_training,
         default_size=default_size, bs=batch_size, bboxes_format=box_format,
@@ -46,10 +52,14 @@ def get_loaders(
         default_size=default_size, bs=batch_size, bboxes_format=box_format,
         max_boxes=max_boxes)
 
+    host_aug = None
+    if augment:
+        host_aug = TrainAugment(seed=seed, hflip_p=0.0, vflip_p=0.0) \
+            if device_augment else TrainAugment(seed=seed)
     train_loader = BatchLoader(
         train_ds, batch_size,
         shuffle=not rect_training,                    # training_utils.py:57
-        augment=TrainAugment(seed=seed) if augment else None,
+        augment=host_aug,
         seed=seed, drop_last=True, size_buckets=multi_scale_sizes,
         num_workers=num_workers, mosaic_p=mosaic_p, hsv=hsv)
     val_loader = BatchLoader(val_ds, batch_size, shuffle=False, augment=None,
