@@ -82,6 +82,37 @@ def test_train_cli_sp_training(dataset_root, tmp_path, monkeypatch):
     assert len(eval_csv.strip().splitlines()) == 2
 
 
+def test_train_cli_tp_training(dataset_root, tmp_path, monkeypatch):
+    """--tp 2 --dp 2: tensor-parallel training on a 2x2 (data, model) mesh
+    end-to-end through the CLI (GSPMD channel sharding; first_out=8 keeps
+    every conv width divisible by the model-axis size)."""
+    from yolov5m_tpu.cli.train import main
+
+    monkeypatch.chdir(tmp_path)
+    main(_opt(dataset_root, dp=2, tp=2, bs=2,
+              nosaveimgs=True, filename="tp_run"))
+    assert (tmp_path / "SAVED_CHECKPOINT" / "tp_run"
+            / "checkpoint_epoch_1.msgpack").is_file()
+    eval_csv = (tmp_path / "train_eval_metrics" / "tp_run"
+                / "eval.csv").read_text()
+    assert len(eval_csv.strip().splitlines()) == 2
+
+
+def test_train_cli_pp_training(dataset_root, tmp_path, monkeypatch):
+    """--pp 2: GPipe pipeline training (2 stages, 2 micro-batches of 1)
+    end-to-end through the CLI on the virtual mesh."""
+    from yolov5m_tpu.cli.train import main
+
+    monkeypatch.chdir(tmp_path)
+    main(_opt(dataset_root, pp=2, bs=2,
+              nosaveimgs=True, filename="pp_run"))
+    assert (tmp_path / "SAVED_CHECKPOINT" / "pp_run"
+            / "checkpoint_epoch_1.msgpack").is_file()
+    eval_csv = (tmp_path / "train_eval_metrics" / "pp_run"
+                / "eval.csv").read_text()
+    assert len(eval_csv.strip().splitlines()) == 2
+
+
 def test_train_cli_only_eval(dataset_root, tmp_path, monkeypatch):
     from yolov5m_tpu.cli.train import main
 

@@ -228,6 +228,25 @@ def test_serving_dp_mesh(served, rng):
     _check_matches(resp, rows, boxes, orig_hw)
 
 
+def test_serving_tp_mesh(served, rng):
+    """tp_mesh: conv channels sharded over the model axis, batch over the
+    data axis (parallel/tp.py) — responses must equal the single-device
+    server's for the same requests."""
+    from yolov5m_tpu.parallel import make_tp_mesh
+
+    _, fused, variables = served
+    fused_vars = variables
+    server = DetectionServer(fused, fused_vars, normalized_anchors(),
+                             labels=LABELS, image_size=S, batch_size=4,
+                             max_wait_ms=10.0,
+                             tp_mesh=make_tp_mesh(n_data=2, n_model=2), **KW)
+    data = _jpeg(rng.integers(0, 255, (44, 58, 3), np.uint8))
+    with server, DetectionClient(port=server.port) as client:
+        resp = client.detect(data)
+    rows, boxes, orig_hw = _expected(fused, fused_vars, data)
+    _check_matches(resp, rows, boxes, orig_hw)
+
+
 def test_serving_restart(rng):
     """stop() then start() serves again (stop flag cleared, queue drained)."""
     model = YOLOv5(first_out=8, nc=NC, dtype=jnp.float32)

@@ -48,6 +48,10 @@ def arg_parser():
                    help="serve the batch data-parallel over N devices "
                         "(0 = single device); --bs must be a multiple of "
                         "N; use bs = 128 * N")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel factor: shard conv channels over N "
+                        "devices (composes with --dp on a (data, model) "
+                        "mesh; for family variants too large for one chip)")
     p.add_argument("--anchors", type=str, default=None,
                    help="anchors.json from an --autoanchor run")
     return p.parse_args()
@@ -87,8 +91,15 @@ def main(opt):
     else:
         anchors = normalized_anchors()
 
-    dp_mesh = None
-    if getattr(opt, "dp", 0) and opt.dp > 1:
+    dp_mesh, tp_mesh = None, None
+    n_tp = getattr(opt, "tp", 1)
+    if n_tp > 1:
+        from yolov5m_tpu.parallel import make_tp_mesh
+        n_data = getattr(opt, "dp", 0) or 1
+        tp_mesh = make_tp_mesh(n_data=n_data, n_model=n_tp)
+        print(f"==> tensor-parallel serving over a {n_data}x{n_tp} "
+              "(data, model) mesh")
+    elif getattr(opt, "dp", 0) and opt.dp > 1:
         from yolov5m_tpu.parallel import make_mesh
         dp_mesh = make_mesh(opt.dp)
         print(f"==> data-parallel serving over {opt.dp} devices")
@@ -97,7 +108,7 @@ def main(opt):
         image_size=opt.image_size, conf_threshold=opt.conf,
         iou_threshold=opt.iou, max_detections=cfg.max_detections,
         batch_size=opt.bs, max_wait_ms=opt.max_wait_ms,
-        overlap=not opt.no_overlap, dp_mesh=dp_mesh,
+        overlap=not opt.no_overlap, dp_mesh=dp_mesh, tp_mesh=tp_mesh,
         host=opt.host, port=opt.port)
     print(f"==> compiling bs={opt.bs} pipeline ...", flush=True)
     server.start()

@@ -47,6 +47,21 @@ def arg_parser():
                         "exchange; composes with --dp on a 2-D mesh; for "
                         "large-canvas training where one image's "
                         "activations exceed a chip)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel factor: shard conv output channels "
+                        "over this many devices (GSPMD; composes with --dp "
+                        "on a (data, model) mesh; for family variants whose "
+                        "params+optimizer exceed one chip)")
+    p.add_argument("--pp", type=int, default=1,
+                   help="pipeline-parallel stage count: cut the model graph "
+                        "into this many stages over a 1-D pipe mesh and "
+                        "stream micro-batches GPipe-style; the optimizer "
+                        "steps once per loader batch (micro-batching IS the "
+                        "accumulation), so use --bs >= 64 for the reference "
+                        "nominal-batch recipe")
+    p.add_argument("--pp_micro", type=int, default=0,
+                   help="PP micro-batches per step (0 = stage count; must "
+                        "divide --bs)")
     p.add_argument("--first_out", type=int, default=None,
                    help="width override (default: from --model)")
     p.add_argument("--model", type=str, default="m",
@@ -197,10 +212,14 @@ def main(opt):
     # 8-chip --bs 512 run (64/device) is not penalized; scale by image
     # area so tiny test configs are untouched. --no_remat opts out.
     remat = getattr(opt, "remat", False)
-    # same device-count resolution the step-builder below uses (dp=0 = all)
+    # same device-count resolution the step-builder below uses (dp=0 = all).
+    # TP divides activation memory by the channel-shard factor like SP does
+    # by the row factor; PP's per-device stash is stage-local × in-flight
+    # micro-batches and doesn't fit this heuristic (use --remat explicitly).
     _sp = max(getattr(opt, "sp", 1), 1)
-    _dp = getattr(opt, "dp", 0) or max(len(jax.devices()) // _sp, 1)
-    n_shards = _dp * _sp
+    _tp = max(getattr(opt, "tp", 1), 1)
+    _dp = getattr(opt, "dp", 0) or max(len(jax.devices()) // (_sp * _tp), 1)
+    n_shards = _dp * _sp * _tp
     per_device_load = opt.bs * (cfg.image_size / 640.0) ** 2 / n_shards
     if not remat and not getattr(opt, "no_remat", False) \
             and per_device_load >= 96:
@@ -283,6 +302,12 @@ def main(opt):
         print(f"==> saved refit anchors to {anchors_path}")
 
     accumulate = accumulation_steps(opt.bs, cfg.nominal_batch_size)
+    if getattr(opt, "pp", 1) > 1:
+        # PP fires the optimizer epilogue once per loader batch — its
+        # micro-batch stream IS the accumulation (one PP call ≡ M standard
+        # calls at accumulate=M, tests/test_pp.py) — so the schedule horizon
+        # counts loader batches, not nominal-batch groups
+        accumulate = 1
     # schedule horizon in OPTIMIZER steps (accumulation-gated)
     opt_steps_per_epoch = max(len(train_loader) // accumulate, 1)
     if getattr(opt, "lr_schedule", "constant") != "constant":
@@ -336,6 +361,11 @@ def main(opt):
 
     n_dev = opt.dp or len(jax.devices())
     n_sp = getattr(opt, "sp", 1)
+    n_tp = getattr(opt, "tp", 1)
+    n_pp = getattr(opt, "pp", 1)
+    assert sum(x > 1 for x in (n_sp, n_tp, n_pp)) <= 1, \
+        "--sp/--tp/--pp are mutually exclusive (only --dp composes with " \
+        "--sp or --tp on a 2-D mesh)"
     # donate_argnums=0: the loop always rebinds `state`, so the ~6 param-sized
     # state arrays (params, Adam moments, accum grads, EMA) update in place
     # instead of allocating fresh HBM every step
@@ -350,6 +380,42 @@ def main(opt):
         put = lambda b: {k: jnp.asarray(v) for k, v in b.items()}  # noqa: E731
         print(f"==> spatially-partitioned training over a {n_data}x{n_sp} "
               "(data, spatial) mesh")
+    elif n_tp > 1:
+        from yolov5m_tpu.parallel import (
+            make_tp_mesh, make_tp_train_step, shard_state_tp)
+        assert not cfg.flat_optimizer, "--tp does not support --flat_opt"
+        n_data = opt.dp or max(len(jax.devices()) // n_tp, 1)
+        tp_mesh = make_tp_mesh(n_data=n_data, n_model=n_tp)
+        step_fn = make_tp_train_step(model, loss_fn, optimizer, tp_mesh,
+                                     accumulate,
+                                     data_axis="data" if n_data > 1 else None)
+        # pre-shard so the donated in-place update path engages from call 1
+        state = shard_state_tp(state, tp_mesh)
+        put = lambda b: {k: jnp.asarray(v) for k, v in b.items()}  # noqa: E731
+        print(f"==> tensor-parallel training over a {n_data}x{n_tp} "
+              "(data, model) mesh")
+    elif n_pp > 1:
+        from yolov5m_tpu.parallel import make_pp_mesh, make_pp_train_step
+        assert not cfg.flat_optimizer, "--pp does not support --flat_opt"
+        pp_m = getattr(opt, "pp_micro", 0) or n_pp
+        assert opt.bs % pp_m == 0, \
+            f"--pp_micro {pp_m} must divide --bs {opt.bs}"
+        pp_mb = opt.bs // pp_m
+        pp_mesh = make_pp_mesh(n_pipe=n_pp)
+        pp_steps = {}  # one compiled pipeline per image shape (multi-scale)
+
+        def step_fn(state, image, labels, mask,
+                    _model=model, _loss=loss_fn, _optim=optimizer):
+            hw = tuple(image.shape[1:3])
+            if hw not in pp_steps:
+                pp_steps[hw] = make_pp_train_step(
+                    _model, _loss, _optim, pp_mesh, pp_mb, pp_m,
+                    image_hw=hw)
+            return pp_steps[hw](state, image, labels, mask)
+
+        put = lambda b: {k: jnp.asarray(v) for k, v in b.items()}  # noqa: E731
+        print(f"==> pipeline-parallel training: {n_pp} stages, "
+              f"{pp_m} micro-batches of {pp_mb} per step")
     elif n_dev > 1:
         mesh = make_mesh(n_dev)
         step_fn = make_dp_train_step(model, loss_fn, optimizer, mesh,

@@ -99,13 +99,16 @@ def make_tp_infer_fn(model, variables, anchors_norm, mesh: Mesh,
                      iou_threshold: float = 0.45,
                      max_detections: int = 300,
                      pre_nms_topk: int = 1024,
-                     backend: str = "auto") -> Callable:
+                     backend: str = "auto",
+                     uint8_ingress: bool = False) -> Callable:
     """Build a jitted TP inference function `(images) -> (det, valid)`.
 
     model/variables: a fused (BN-folded) or plain YOLOv5 + its variables.
     images: (bs, H, W, 3); bs sharded over `data_axis` when the mesh has
     one (pass data_axis=None for a pure-TP 1-D mesh). A host array works
-    directly — jit shards it on transfer.
+    directly — jit shards it on transfer. With uint8_ingress the images
+    are uint8 and the /255 normalize runs on device INSIDE the one jit
+    (4x less host→device traffic, bit-identical — serving/server.py).
 
     The convs run channel-sharded; the head logits are gathered back to
     batch-only sharding (replicated over `model_axis`) before the global
@@ -129,6 +132,8 @@ def make_tp_infer_fn(model, variables, anchors_norm, mesh: Mesh,
     @functools.partial(jax.jit, in_shardings=img_sharding,
                        out_shardings=(out_sharding, out_sharding))
     def tp_infer(images):
+        if uint8_ingress:
+            images = images.astype(jnp.float32) / 255.0
         preds = model.apply(variables, images, train=False)
         # leave the channel-sharded regime before the global postprocess
         preds = [jax.lax.with_sharding_constraint(p, out_sharding)

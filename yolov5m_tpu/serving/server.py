@@ -110,6 +110,7 @@ class DetectionServer:
                  max_wait_ms: float = 5.0,
                  overlap: bool = True,
                  dp_mesh=None,
+                 tp_mesh=None,
                  host: str = "127.0.0.1",
                  port: int = 0):
         """dp_mesh: a jax.sharding.Mesh with a "data" axis — the device
@@ -117,7 +118,14 @@ class DetectionServer:
         (params replicated, batch sharded, zero collectives), so N chips
         serve N× the single-chip throughput behind one socket. batch_size
         must be a MULTIPLE of the mesh size; 128 per device is the
-        measured optimum."""
+        measured optimum.
+
+        tp_mesh: a (data, model) mesh from parallel/tp.py's make_tp_mesh —
+        conv channels sharded over the model axis, batch over the data
+        axis (parallel/tp.py). For serving family variants too large for
+        one chip, or latency floors where DP alone can't shrink the batch.
+        Mutually exclusive with dp_mesh; batch_size must be a multiple of
+        the data-axis size."""
         import jax
         import jax.numpy as jnp
         from yolov5m_tpu.config import Config
@@ -137,7 +145,25 @@ class DetectionServer:
         if pre_nms_topk is None:
             pre_nms_topk = Config().topk_for_conf(conf_threshold)
 
-        if dp_mesh is not None:
+        assert dp_mesh is None or tp_mesh is None, \
+            "dp_mesh and tp_mesh are mutually exclusive (TP already " \
+            "composes with DP on its own (data, model) mesh)"
+        if tp_mesh is not None:
+            from yolov5m_tpu.parallel import make_tp_infer_fn
+            data_axis = "data" if "data" in tp_mesh.axis_names else None
+            n_data = tp_mesh.shape[data_axis] if data_axis else 1
+            assert self.batch_size % n_data == 0, \
+                (f"batch_size {batch_size} must be a multiple of the "
+                 f"data-axis size {n_data}")
+            # uint8 ingress + normalize live INSIDE the TP jit: its
+            # in_shardings must bind the real input, not a wrapper's
+            infer = make_tp_infer_fn(
+                model, variables, anchors_norm, tp_mesh,
+                data_axis=data_axis,
+                conf_threshold=conf_threshold, iou_threshold=iou_threshold,
+                max_detections=max_detections, pre_nms_topk=pre_nms_topk,
+                uint8_ingress=True)
+        elif dp_mesh is not None:
             from yolov5m_tpu.parallel import make_dp_infer_fn
             assert self.batch_size % dp_mesh.size == 0, \
                 (f"batch_size {batch_size} must be a multiple of the mesh "
