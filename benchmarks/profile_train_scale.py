@@ -66,9 +66,17 @@ def main(rounds: int = 8, iters: int = 4):
 
     arms = {}   # name -> [call, state, xs, labels, mask, imgs_per_call]
     for name, bs, scan_k, size in specs:
-        arm_model = (YOLOv5(first_out=cfg.first_out, nc=cfg.nc,
-                            dtype=jnp.bfloat16, remat=True)
-                     if name.endswith("_remat") else model)
+        if name.endswith("_rall"):
+            # remat_scope="all": every CBL/C3/SPPF rematted — the finer
+            # stash that can fit bs=256 where C3-only remat OOMs
+            arm_model = YOLOv5(first_out=cfg.first_out, nc=cfg.nc,
+                               dtype=jnp.bfloat16, remat=True,
+                               remat_scope="all")
+        elif name.endswith("_remat"):
+            arm_model = YOLOv5(first_out=cfg.first_out, nc=cfg.nc,
+                               dtype=jnp.bfloat16, remat=True)
+        else:
+            arm_model = model
         accumulate = accumulation_steps(bs, cfg.nominal_batch_size)
         opt = make_optimizer(cfg)
         state = create_train_state(arm_model, cfg, jax.random.PRNGKey(0),

@@ -86,6 +86,7 @@ class YOLOv5(nn.Module):
     quant_chain: bool = False       # int8 ACTIVATION chain (blocks.CBL.chain)
     calibrate: bool = False         # sow per-CBL in/out absmax for calibration
     remat: bool = False             # rematerialize C3 stacks under grad
+    remat_scope: str = "c3"         # "c3" | "all" (every backbone/neck block)
 
     def setup(self):
         fo, dt, ax = self.first_out, self.dtype, self.bn_axis
@@ -95,35 +96,42 @@ class YOLOv5(nn.Module):
         # instead of living in HBM across it — the standard TPU trade of
         # FLOPs for memory that lets l/x-width models train at 640² batches
         # that would otherwise exceed HBM. Parameter structure is unchanged.
+        # remat_scope="all" additionally wraps every CBL and the SPPF, so
+        # only block-boundary activations survive the forward — the finer
+        # stash that lets bs=256 buckets fit where C3-only remat OOMs.
+        assert self.remat_scope in ("c3", "all"), self.remat_scope
+        wide = self.remat and self.remat_scope == "all"
         C3_ = (nn.remat(C3, static_argnums=(2,)) if self.remat else C3)
+        CBL_ = (nn.remat(CBL, static_argnums=(2, 3)) if wide else CBL)
+        SPPF_ = (nn.remat(SPPF, static_argnums=(2,)) if wide else SPPF)
         d3 = _scaled_depth(3, self.depth_mult)   # m: 2
         d6 = _scaled_depth(6, self.depth_mult)   # m: 4
         d9 = _scaled_depth(9, self.depth_mult)   # m: 6
         # Backbone: 10 modules; taps after idx 4 (P3-level) and 6 (P4-level)
         # — reference model.py:184-195, 215-219.
-        stem = (CBL(fo, 3, 1, 1, dt, ax, *fu) if self.stem_s2d
-                else CBL(fo, 6, 2, 2, dt, ax, *fu))
+        stem = (CBL_(fo, 3, 1, 1, dt, ax, *fu) if self.stem_s2d
+                else CBL_(fo, 6, 2, 2, dt, ax, *fu))
         self.backbone = [
             stem,
-            CBL(fo * 2, 3, 2, 1, dt, ax, *fu),
+            CBL_(fo * 2, 3, 2, 1, dt, ax, *fu),
             C3_(fo * 2, 0.5, d3, True, dt, ax, *fu),
-            CBL(fo * 4, 3, 2, 1, dt, ax, *fu),
+            CBL_(fo * 4, 3, 2, 1, dt, ax, *fu),
             C3_(fo * 4, 0.5, d6, True, dt, ax, *fu),
-            CBL(fo * 8, 3, 2, 1, dt, ax, *fu),
+            CBL_(fo * 8, 3, 2, 1, dt, ax, *fu),
             C3_(fo * 8, 0.5, d9, True, dt, ax, *fu),
-            CBL(fo * 16, 3, 2, 1, dt, ax, *fu),
+            CBL_(fo * 16, 3, 2, 1, dt, ax, *fu),
             C3_(fo * 16, 0.5, d3, True, dt, ax, *fu),
-            SPPF(fo * 16, dt, ax, *fu),
+            SPPF_(fo * 16, dt, ax, *fu),
         ]
         # Neck: FPN-up + PAN-down — reference model.py:197-207, 221-237.
         self.neck = [
-            CBL(fo * 8, 1, 1, 0, dt, ax, *fu),
+            CBL_(fo * 8, 1, 1, 0, dt, ax, *fu),
             C3_(fo * 8, 0.25, d3, False, dt, ax, *fu),
-            CBL(fo * 4, 1, 1, 0, dt, ax, *fu),
+            CBL_(fo * 4, 1, 1, 0, dt, ax, *fu),
             C3_(fo * 4, 0.25, d3, False, dt, ax, *fu),
-            CBL(fo * 4, 3, 2, 1, dt, ax, *fu),
+            CBL_(fo * 4, 3, 2, 1, dt, ax, *fu),
             C3_(fo * 8, 0.5, d3, False, dt, ax, *fu),
-            CBL(fo * 8, 3, 2, 1, dt, ax, *fu),
+            CBL_(fo * 8, 3, 2, 1, dt, ax, *fu),
             C3_(fo * 16, 0.5, d3, False, dt, ax, *fu),
         ]
         self.head = Head(nc=self.nc, dtype=dt)
