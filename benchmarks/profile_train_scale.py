@@ -111,8 +111,10 @@ def main(rounds: int = 8, iters: int = 4):
             arm[1], m = arm[0](arm[1], arm[2][0], arm[3], arm[4])
             assert np.isfinite(float(m["loss"]))
             print(f"{name}: compiled+first in {time.time()-t0:.1f}s")
+        except (ValueError, TypeError):
+            raise   # trace-time bug in the arm, not an OOM — surface it
         except Exception as e:  # e.g. HBM OOM at big batches
-            print(f"{name}: DROPPED ({type(e).__name__}: {str(e)[:120]})")
+            print(f"{name}: DROPPED ({type(e).__name__}: {str(e)[:200]})")
             del arms[name]
 
     results = {name: [] for name in arms}

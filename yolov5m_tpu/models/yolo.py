@@ -102,7 +102,11 @@ class YOLOv5(nn.Module):
         assert self.remat_scope in ("c3", "all"), self.remat_scope
         wide = self.remat and self.remat_scope == "all"
         C3_ = (nn.remat(C3, static_argnums=(2,)) if self.remat else C3)
-        CBL_ = (nn.remat(CBL, static_argnums=(2, 3)) if wide else CBL)
+        # CBL's only static positional arg on the remat path is `train`
+        # (arg index 2 counting self); `emit_float` is keyword-only in the
+        # quant-chain path, which never composes with remat (chain asserts
+        # quant=True and remat paths are bf16/f32 train).
+        CBL_ = (nn.remat(CBL, static_argnums=(2,)) if wide else CBL)
         SPPF_ = (nn.remat(SPPF, static_argnums=(2,)) if wide else SPPF)
         d3 = _scaled_depth(3, self.depth_mult)   # m: 2
         d6 = _scaled_depth(6, self.depth_mult)   # m: 4
