@@ -20,16 +20,22 @@ When to use which (production guidance):
   * in between → a 2-D mesh ("data", "spatial"): batch over "data", rows
     over "spatial", composed in ONE jit (make_sp_mesh below).
 
-Halo traffic rides ICI and is tiny relative to conv FLOPs at 640²: a 3x3
-conv exchanges one boundary row per shard edge. Efficiency falls once
-per-shard rows approach the kernel window, so keep rows-per-shard >= 2 at
-the deepest grid: 640² has a 20-row P5 grid, supporting n_spatial <= 8
-(each P5 shard keeps >= 2 rows); past that the halo IS the shard.
+Scaling guidance below is PROJECTED, not measured: this repo's dev
+environment has one physical TPU chip, so SP correctness is pinned on the
+virtual 8-device CPU mesh (tests/test_sp_infer.py, tests/test_sp_train.py
+incl. an f64 exactness proof) while the ICI-traffic arithmetic has no
+hardware measurement behind it. Projected model: halo traffic rides ICI and
+is tiny relative to conv FLOPs at 640² (a 3x3 conv exchanges one boundary
+row per shard edge). Efficiency falls once per-shard rows approach the
+kernel window, so keep rows-per-shard >= 2 at the deepest grid: 640² has a
+20-row P5 grid, supporting n_spatial <= 8 (each P5 shard keeps >= 2 rows);
+past that the halo IS the shard.
 
 The postprocess (flatten + top-k + NMS) is global over all cells, so the
 head logits (bs, na, ny, nx, 5+nc) are re-gathered to batch sharding first;
 they are ~100x smaller than the early conv activations, so the all-gather
-is cheap relative to the conv savings.
+is projected cheap relative to the conv savings (same caveat: unmeasured
+on multi-chip hardware).
 """
 
 from __future__ import annotations

@@ -22,6 +22,11 @@ reduce-scatter behind it). No manual psum choreography. SPMD partitioning
 preserves program semantics exactly — numeric parity vs the single-device
 pipeline is pinned by tests/test_tp.py.
 
+All latency/ICI-traffic statements above are PROJECTED (this environment
+has one physical chip): TP correctness and sharding propagation are
+verified on the virtual 8-device CPU mesh (tests/test_tp.py,
+dryrun_multichip), but no multi-chip latency number exists for any of it.
+
 Channel dims that don't divide the mesh axis (the 255-channel detection
 head outputs, 3-channel stem input) simply stay replicated — the rule is
 per-leaf divisibility, so every family variant shards cleanly without a
