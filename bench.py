@@ -15,10 +15,20 @@ conditioned on hitting the target, no max-selection):
     loop a single jitted program are throttled to ~2-4%% of chip speed
     regardless of chip state (ROUND2_NOTES.md forensics, reproduced across
     dozens of runs);
-  * the HEADLINE value is the MEDIAN round of the arm whose backend is the
-    shipped auto-selected default (ops/nms.py resolve_backend) over a fixed
-    time budget, after a fixed 2-round untimed warmup. Max and per-arm
-    medians are reported as auxiliary fields only;
+  * LOAD REALISM (round 4): when weights/flagship_synth_bf16.msgpack
+    exists (trained on structured synthetic data by benchmarks/
+    train_flagship_synth.py), the HEADLINE cell runs those weights on
+    structured inputs from the same distribution, so the gate/top-k/NMS
+    stages see a realistic detection density — reported as
+    `detection_density` (gate survivors and final detections per image)
+    for both loads, with the random-init/noise cell kept as an A/B
+    (`noise_load_median`, `trained_vs_noise`). Weights enter the jit as
+    ARGUMENTS, so both loads execute the identical compiled program;
+  * the HEADLINE value is the MEDIAN round of the cell whose backend is the
+    shipped auto-selected default (ops/nms.py resolve_backend) on the
+    trained load (noise load if no weights file) over a fixed time budget,
+    after a fixed 2-round untimed warmup. Max and per-arm medians are
+    reported as auxiliary fields only;
   * timed iterations are dependency-chained through a device-side scalar
     accumulator and the final scalar is fetched inside the timed window —
     one fetch proves the whole chain executed (`block_until_ready` has been
@@ -49,14 +59,19 @@ import jax
 import jax.numpy as jnp
 
 from yolov5m_tpu.config import Config
+from yolov5m_tpu.data.synthetic import synth_batch
 from yolov5m_tpu.models import YOLOv5
 from yolov5m_tpu.models.fuse import fold_batchnorm
 from yolov5m_tpu.models.yolo import normalized_anchors
 from yolov5m_tpu.ops.nms import resolve_backend
 from yolov5m_tpu.ops.postprocess import fused_detect
 
-A100_TARGET_IMG_S = 600.0  # 2x ~300 img/s (plain-torch A100 yolov5m batch inference)
+# 2x ~300 img/s (plain-torch A100 yolov5m batch inference). Provenance and
+# a hostile-reviewer sensitivity analysis: BASELINE.md "Provenance of the
+# vs_baseline denominator".
+A100_TARGET_IMG_S = 600.0
 _HERE = os.path.dirname(os.path.abspath(__file__))
+WEIGHTS_PATH = os.path.join(_HERE, "weights", "flagship_synth_bf16.msgpack")
 
 
 def run_matmul_probe() -> dict:
@@ -103,6 +118,28 @@ def main(batch_size: int = 128, warmup_rounds: int = 2) -> None:
                    fused=True)
     anchors = jnp.asarray(normalized_anchors())
 
+    # Realistic detection load (VERDICT r3 Missing #2): flagship weights
+    # trained on structured synthetic images (benchmarks/
+    # train_flagship_synth.py; provenance sidecar next to the file). When
+    # present, the HEADLINE arm runs those weights on structured inputs
+    # drawn from the training distribution, and the random-init/noise arm
+    # is kept as the A/B continuity record. Variables are passed as jit
+    # ARGUMENTS, so both loads share the identical compiled program —
+    # the A/B differs only in data.
+    trained_vars = None
+    weights_meta = None
+    if os.path.isfile(WEIGHTS_PATH):
+        import numpy as _np
+        from flax import serialization as _ser
+        with open(WEIGHTS_PATH, "rb") as f:
+            raw = _ser.msgpack_restore(f.read())
+        raw = jax.tree.map(lambda x: _np.asarray(x, _np.float32), raw)
+        trained_vars = fold_batchnorm(raw)
+        sidecar = WEIGHTS_PATH.replace(".msgpack", ".json")
+        if os.path.isfile(sidecar):
+            with open(sidecar) as f:
+                weights_meta = json.load(f)
+
     # Each arm scans CHAIN_LEN distinct batches inside ONE jit: host→device
     # dispatch over this relay costs ~4.1ms per call regardless of payload
     # (benchmarks/profile_dispatch.py — a trivial 64-element program takes
@@ -118,13 +155,13 @@ def main(batch_size: int = 128, warmup_rounds: int = 2) -> None:
 
     def make_arm(backend):
         @jax.jit
-        def arm(xs, acc):
+        def arm(v, xs, acc):
             # acc folds into each input so iteration i+1 depends on i and
             # call j+1 depends on call j: one final scalar fetch proves the
-            # whole chain executed
+            # whole chain executed. Weights `v` are an argument so every
+            # load profile shares this one compiled program.
             def body(acc, x):
-                preds = model.apply(variables,
-                                    x + (acc * 0).astype(x.dtype),
+                preds = model.apply(v, x + (acc * 0).astype(x.dtype),
                                     train=False)
                 det, valid = fused_detect(
                     preds, anchors, conf_threshold=0.25,
@@ -147,18 +184,42 @@ def main(batch_size: int = 128, warmup_rounds: int = 2) -> None:
     backends = ["xla", "xla_loop"]
     if default_backend not in backends:
         backends.insert(0, default_backend)
-    arms = {b: make_arm(b) for b in backends}
+    arm_fns = {b: make_arm(b) for b in backends}
 
     # distinct device-resident batches, generated on device, stacked into
     # CHAIN_LEN-deep scan inputs
     gen = jax.jit(lambda k: jax.random.uniform(
         k, (CHAIN_LEN, batch_size, 640, 640, 3), jnp.float32))
-    xs = [gen(jax.random.PRNGKey(i)) for i in range(2)]
-    jax.block_until_ready(xs)
+    xs_noise = [gen(jax.random.PRNGKey(i)) for i in range(2)]
+    jax.block_until_ready(xs_noise)
+
+    # Measurement cells: (name, backend, variables, inputs). With trained
+    # weights present the headline is the default backend on the TRAINED
+    # load; the random/noise cell stays for the A/B and r1-r3 continuity.
+    # Without them (fresh clone), behavior degrades to the r3 protocol.
+    v_dev = jax.device_put(variables)
+    cells = {}
+    if trained_vars is not None:
+        gen_s = jax.jit(lambda k: jax.vmap(
+            lambda kk: synth_batch(kk, batch_size, 640, cfg.nc)[0])(
+                jax.random.split(k, CHAIN_LEN)))
+        xs_struct = [gen_s(jax.random.PRNGKey(100 + i)) for i in range(2)]
+        jax.block_until_ready(xs_struct)
+        t_dev = jax.device_put(trained_vars)
+        headline = f"{default_backend}:trained"
+        cells[headline] = (default_backend, t_dev, xs_struct)
+        cells[f"{default_backend}:noise"] = (default_backend, v_dev, xs_noise)
+        for b in backends:
+            if b != default_backend:
+                cells[f"{b}:trained"] = (b, t_dev, xs_struct)
+    else:
+        headline = f"{default_backend}:noise"
+        for b in backends:
+            cells[f"{b}:noise"] = (b, v_dev, xs_noise)
 
     accs = {}
-    for name, arm in arms.items():
-        a = arm(xs[0], jnp.float32(0.0))
+    for name, (b, v, xs) in cells.items():
+        a = arm_fns[b](v, xs[0], jnp.float32(0.0))
         float(a)                         # compile + warm
         accs[name] = a
 
@@ -172,15 +233,15 @@ def main(batch_size: int = 128, warmup_rounds: int = 2) -> None:
     max_seconds = float(os.environ.get("BENCH_MAX_SECONDS", "900"))
     max_rounds = int(os.environ.get("BENCH_MAX_ROUNDS", "2000"))
     deadline = time.time() + max_seconds
-    per_arm = {b: [] for b in backends}   # img/s per measured round
+    per_arm = {name: [] for name in cells}   # img/s per measured round
     k = 0
     n_round = 0
     while n_round < warmup_rounds + max_rounds:
-        for name, arm in arms.items():
+        for name, (b, v, xs) in cells.items():
             acc = accs[name]
             t0 = time.perf_counter()
             for _ in range(SEG_CALLS):
-                acc = arm(xs[k % len(xs)], acc)
+                acc = arm_fns[b](v, xs[k % len(xs)], acc)
                 k += 1
             assert float(acc) >= 0.0  # scalar fetch: forces the chain
             dt = time.perf_counter() - t0
@@ -192,15 +253,43 @@ def main(batch_size: int = 128, warmup_rounds: int = 2) -> None:
             # single arm segment can take minutes, and overrunning the
             # budget by a whole round risks the caller's own process timeout
             # (observed 2026-08-18: a 900s-budget run exceeded 30 min)
-            if time.time() > deadline and per_arm[default_backend]:
+            if time.time() > deadline and per_arm[headline]:
                 break
         n_round += 1
         # honor the deadline only once at least ONE measured round of the
         # headline arm exists: on a degraded window where warmup alone eats
         # the budget, an empty capture would crash the median below and
         # print no JSON at all
-        if time.time() > deadline and per_arm[default_backend]:
+        if time.time() > deadline and per_arm[headline]:
             break
+
+    # Detection-density statistics (VERDICT r3 Weak #2): how much work the
+    # gate/top-k/NMS actually does per image under each load. One jitted
+    # probe per load, run AFTER measurement so it cannot perturb the lane.
+    thresh_logit = float(__import__("math").log(0.25 / 0.75))
+
+    @jax.jit
+    def _density(v, x):
+        preds = model.apply(v, x, train=False)
+        obj = jnp.concatenate(
+            [p[..., 4].reshape(p.shape[0], -1) for p in preds], axis=1)
+        surv = (obj.astype(jnp.float32) > thresh_logit).sum(axis=1)
+        det, valid = fused_detect(
+            preds, anchors, conf_threshold=0.25,
+            iou_threshold=cfg.nms_iou_thresh,
+            max_detections=cfg.max_detections,
+            pre_nms_topk=cfg.topk_for_conf(0.25))
+        return surv.mean(), valid.sum(axis=1).mean()
+
+    density = {}
+    for name, (b, v, xs) in cells.items():
+        if name.split(":")[0] != default_backend:
+            continue                       # density is backend-independent
+        s, d = _density(v, xs[0][0])
+        density[name.split(":")[1]] = {
+            "gate_survivors_per_image": round(float(s), 1),
+            "detections_per_image": round(float(d), 1),
+            "pre_nms_topk": cfg.topk_for_conf(0.25)}
 
     # lane-forensics probe AFTER measurement (subprocess; a hung probe must
     # not eat the measurement budget)
@@ -209,33 +298,53 @@ def main(batch_size: int = 128, warmup_rounds: int = 2) -> None:
     else:
         probe = run_matmul_probe()
 
-    default_rounds = per_arm[default_backend]
-    img_s = statistics.median(default_rounds)
+    headline_rounds = per_arm[headline]
+    img_s = statistics.median(headline_rounds)
     fast_seen = any(r >= A100_TARGET_IMG_S for rs in per_arm.values()
                     for r in rs)
+    load_desc = ("trained weights (benchmarks/train_flagship_synth.py) on "
+                 "structured synthetic images"
+                 if trained_vars is not None else
+                 "random-init weights on uniform noise (no weights file)")
+    noise_key = f"{default_backend}:noise"
+    noise_median = (round(statistics.median(per_arm[noise_key]), 2)
+                    if per_arm.get(noise_key) else None)
     out = {
         "metric": "640x640 images/sec/chip incl. NMS (bs=%d, bf16, fused "
-                  "postprocess, %s NMS backend)" % (batch_size,
-                                                    default_backend),
+                  "postprocess, %s NMS backend, %s)" % (
+                      batch_size, default_backend,
+                      "trained-structured load" if trained_vars is not None
+                      else "noise load"),
         "value": round(img_s, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_s / A100_TARGET_IMG_S, 3),
-        "protocol": "median round of the default-backend arm over a fixed "
-                    "%ds budget, %d-round untimed warmup, no "
-                    "value-conditioned stopping; one round = %d async-"
-                    "enqueued lax.scan calls per arm, each scanning %d "
+        "load": load_desc,
+        "protocol": "median round of the headline cell (default backend, "
+                    "%s) over a fixed %ds budget, %d-round untimed warmup, "
+                    "no value-conditioned stopping; one round = %d async-"
+                    "enqueued lax.scan calls per cell, each scanning %d "
                     "distinct chained bs=%d batches on device, one scalar "
-                    "fetch per segment (host dispatch costs ~4.1ms/call on "
-                    "this relay and a per-call sync serializes a full "
-                    "round-trip — profile_dispatch.py)" % (
+                    "fetch per segment; all load cells share one compiled "
+                    "program per backend (weights passed as jit args)" % (
+                        "trained load" if trained_vars is not None
+                        else "noise load",
                         int(max_seconds), warmup_rounds, SEG_CALLS,
                         CHAIN_LEN, batch_size),
-        "rounds_measured": len(default_rounds),
-        "max_round": round(max(default_rounds), 2) if default_rounds else None,
-        "p25_round": round(statistics.quantiles(default_rounds, n=4)[0], 2)
-        if len(default_rounds) >= 4 else None,
+        "rounds_measured": len(headline_rounds),
+        "max_round": round(max(headline_rounds), 2) if headline_rounds
+        else None,
+        "p25_round": round(statistics.quantiles(headline_rounds, n=4)[0], 2)
+        if len(headline_rounds) >= 4 else None,
         "per_arm_median": {b: round(statistics.median(r), 2)
                            for b, r in per_arm.items() if r},
+        "noise_load_median": noise_median,
+        "trained_vs_noise": (round(img_s / noise_median, 3)
+                             if noise_median and trained_vars is not None
+                             else None),
+        "detection_density": density,
+        "weights_provenance": ({k: weights_meta.get(k) for k in
+                                ("trained", "steps", "final_loss", "data")}
+                               if weights_meta else None),
         "relay_lane_observed": "fast" if fast_seen else "slow",
         "single_program_lane_tflops": probe.get("matmul_tflops"),
         "device": probe.get("device"),
