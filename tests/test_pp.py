@@ -159,6 +159,100 @@ def test_pp_train_step_matches_sequential_accumulate(rng):
     assert np.isfinite(float(pp_metrics["loss"]))
 
 
+def test_dp_pp_train_matches_dp_accumulate(rng):
+    """DPxPP (2 data replicas x 4 pipeline stages on the 8-device mesh)
+    equals the DP-of-accumulate=M baseline: M sequential DP calls, each on
+    one micro-batch sharded over the same 2 data replicas. Params, EMA,
+    BN running stats (pmean-synced over data in both paths), and Adam
+    moments must all match."""
+    from yolov5m_tpu.parallel import (make_dp_pp_mesh, make_dp_train_step,
+                                      make_mesh, replicate_state,
+                                      shard_batch)
+    from yolov5m_tpu.parallel.pp import make_pp_train_step as mk_pp
+
+    D, S, mb, M = 2, 4, 2, 2
+    cfg = Config(first_out=8, nc=NC, image_size=HW, batch_size=D * mb,
+                 compute_dtype="float32")
+    model = YOLOv5(first_out=cfg.first_out, nc=cfg.nc, dtype=jnp.float32)
+    loss_fn = YoloLoss(LossConfig(nc=NC, image_size=HW),
+                       np.asarray(ANCHORS, np.float32), kind="custom")
+    optimizer = make_optimizer(cfg)
+
+    def fresh_state():
+        return create_train_state(model, cfg, jax.random.PRNGKey(0),
+                                  (HW, HW), optimizer)
+
+    n = M * D * mb
+    images = rng.uniform(0, 1, (n, HW, HW, 3)).astype(np.float32)
+    labels = np.zeros((n, 8, 5), np.float32)
+    labels[:, 0] = [1, 0.4, 0.6, 0.3, 0.2]
+    labels[:, 1] = [2, 0.7, 0.3, 0.2, 0.4]
+    mask = np.zeros((n, 8), bool)
+    mask[:, :2] = True
+
+    # baseline: M sequential DP(accumulate=M) calls on 2 data devices,
+    # micro-batch m = global rows [m*D*mb, (m+1)*D*mb) sharded over data
+    dp_mesh = make_mesh(D)
+    dp_step = make_dp_train_step(model, loss_fn, optimizer, dp_mesh,
+                                 accumulate=M)
+    ref_state = replicate_state(fresh_state(), dp_mesh)
+    for m in range(M):
+        sl = slice(m * D * mb, (m + 1) * D * mb)
+        b = shard_batch({"image": images[sl], "labels": labels[sl],
+                         "mask": mask[sl]}, dp_mesh)
+        ref_state, _ = dp_step(ref_state, b["image"], b["labels"],
+                               b["mask"])
+
+    mesh = make_dp_pp_mesh(n_data=D, n_pipe=S)
+    pp_step = mk_pp(model, loss_fn, optimizer, mesh, microbatch=mb,
+                    num_microbatches=M, image_hw=(HW, HW), donate=False,
+                    data_axis="data")
+    pp_state, pp_metrics = pp_step(fresh_state(), jnp.asarray(images),
+                                   jnp.asarray(labels), jnp.asarray(mask))
+
+    assert int(pp_state.step) == int(ref_state.step) == M
+    for field in ("params", "ema_params", "batch_stats"):
+        fa = jax.tree.leaves(jax.device_get(getattr(pp_state, field)))
+        fb = jax.tree.leaves(jax.device_get(getattr(ref_state, field)))
+        assert len(fa) == len(fb)
+        for x, y in zip(fa, fb):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       atol=1e-5, rtol=1e-5)
+    ma = jax.tree.leaves(jax.device_get(pp_state.opt_state))
+    mr = jax.tree.leaves(jax.device_get(ref_state.opt_state))
+    for x, y in zip(ma, mr):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   atol=1e-6, rtol=1e-5)
+    assert np.isfinite(float(pp_metrics["loss"]))
+
+
+def test_dp_pp_infer_matches_single_device(rng):
+    """DPxPP inference on the (2, 4) mesh: detections equal the
+    single-device fused pipeline, rows in input order."""
+    from yolov5m_tpu.parallel import make_dp_pp_mesh
+
+    model, variables = _model()
+    fused, fvars = model.clone(fused=True), fold_batchnorm(variables)
+    mesh = make_dp_pp_mesh(n_data=2, n_pipe=4)
+    kw = dict(conf_threshold=0.01, iou_threshold=0.45,
+              max_detections=32, pre_nms_topk=64)
+    infer = make_pp_infer_fn(fused, fvars, normalized_anchors(), mesh,
+                             microbatch=1, num_microbatches=2,
+                             image_hw=(HW, HW), data_axis="data", **kw)
+
+    images = rng.uniform(0, 1, (4, HW, HW, 3)).astype(np.float32)
+    det_pp, valid_pp = jax.device_get(infer(jnp.asarray(images)))
+
+    preds = fused.apply(fvars, jnp.asarray(images), train=False)
+    det_1, valid_1 = jax.device_get(fused_detect(
+        preds, jnp.asarray(normalized_anchors()), **kw))
+
+    np.testing.assert_array_equal(valid_pp, valid_1)
+    np.testing.assert_allclose(det_pp[valid_pp], det_1[valid_1],
+                               rtol=1e-5, atol=1e-5)
+    assert valid_pp.any(), "degenerate test: no detections survived"
+
+
 def test_pp_train_composes_with_remat(rng):
     """remat=True (the GPipe stash→recompute trade) is a jaxpr-level
     identity, but XLA may fuse the recomputed segments differently under

@@ -56,9 +56,13 @@ tick (sizes from StagePlan.buf_len; only one physical chip is reachable
 here, so PP is validated on the virtual mesh, not timed on real ICI).
 Use PP when a model's
 layers do NOT fit one chip and channels alone can't split them, or
-compose it with DP for the very large family variants. The reference is
-single-GPU torch with no equivalent (SURVEY.md §2); the staged graph
-mirrors reference model.py:178-239 op for op.
+compose it with DP for the very large family variants: pass a 2-D
+(data, pipe) mesh (make_dp_pp_mesh) plus data_axis to
+make_pp_train_step/make_pp_infer_fn — DP replicas each run the pipeline
+on their batch shard, gradients allreduce over "data", equivalence to
+the DP-of-accumulate=M baseline pinned in tests/test_pp.py. The
+reference is single-GPU torch with no equivalent (SURVEY.md §2); the
+staged graph mirrors reference model.py:178-239 op for op.
 """
 
 from __future__ import annotations
@@ -240,6 +244,22 @@ def make_pp_mesh(n_pipe: int = 4, pipe_axis: str = "pipe") -> Mesh:
     return Mesh(np.asarray(devices[:n_pipe]), (pipe_axis,))
 
 
+def make_dp_pp_mesh(n_data: int = 2, n_pipe: int = 4,
+                    data_axis: str = "data",
+                    pipe_axis: str = "pipe") -> Mesh:
+    """A 2-D (data, pipe) mesh: n_data replicas, each running an n_pipe-
+    stage pipeline — the standard large-model composition (DP outermost).
+    The pipe axis is minor (fastest-varying), so each replica's per-tick
+    activation ppermute rides nearest-neighbor ICI links; the data axis
+    carries only the per-step gradient allreduce."""
+    n = n_data * n_pipe
+    devices = jax.devices()
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    grid = np.asarray(devices[:n]).reshape(n_data, n_pipe)
+    return Mesh(grid, (data_axis, pipe_axis))
+
+
 def _plain(tree):
     """Normalize flax Frozen/plain dicts to nested plain dicts so the scan
     carry keeps one stable container type across switch branches."""
@@ -266,20 +286,24 @@ def make_pp_infer_fn(model, variables, anchors_norm, mesh: Mesh,
                      iou_threshold: float = 0.45,
                      max_detections: int = 300,
                      pre_nms_topk: int = 1024,
-                     backend: str = "auto") -> Callable:
+                     backend: str = "auto",
+                     data_axis: Optional[str] = None) -> Callable:
     """Build a jitted PP inference function `(images) -> (det, valid)`.
 
-    images: (num_microbatches * microbatch, H, W, 3) — M micro-batches
-    stream through the S pipeline stages in M+S-1 ticks inside ONE jit.
-    The last stage runs the fused postprocess (decode + NMS) on each
-    micro-batch as it drains, so only (mb, max_det, 6) detections — not
-    25k-row logits — accumulate across ticks. Results are identical to
-    the single-device fused pipeline (per-image postprocess), parity-
+    images: (num_microbatches * D * microbatch, H, W, 3) with
+    D = mesh.shape[data_axis] (1 without a data axis) — M micro-batches
+    stream through the S pipeline stages in M+S-1 ticks inside ONE jit;
+    with a data axis (make_dp_pp_mesh), every replica pipelines its own
+    batch shard. The last stage runs the fused postprocess (decode + NMS)
+    on each micro-batch as it drains, so only (mb, max_det, 6) detections
+    — not 25k-row logits — accumulate across ticks. Results are identical
+    to the single-device fused pipeline (per-image postprocess), parity-
     tested in tests/test_pp.py.
     """
     from yolov5m_tpu.ops.postprocess import fused_detect
 
     S = mesh.shape[pipe_axis]
+    D = mesh.shape[data_axis] if data_axis else 1
     M, mb = num_microbatches, microbatch
     plan = StagePlan(model, variables, (mb, *image_hw, 3), S, cuts)
     anchors_norm = jnp.asarray(anchors_norm)
@@ -323,8 +347,10 @@ def make_pp_infer_fn(model, variables, anchors_norm, mesh: Mesh,
     branches = [stage_branch(b) for b in range(S)]
     perm = [(i, i + 1) for i in range(S - 1)]
 
-    @functools.partial(shard_map, mesh=mesh, in_specs=(P(),),
-                       out_specs=(P(), P()), check_vma=False)
+    batch_spec = P(None, data_axis) if data_axis else P()
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=(batch_spec,),
+                       out_specs=(batch_spec, batch_spec), check_vma=False)
     def pp_infer_sm(images):
         stage = lax.axis_index(pipe_axis)
 
@@ -342,12 +368,14 @@ def make_pp_infer_fn(model, variables, anchors_norm, mesh: Mesh,
         # only the last stage wrote detections; everyone else holds zeros
         det = lax.psum(det_buf, pipe_axis)
         valid = lax.psum(val_buf, pipe_axis) > 0.5
-        return (det.reshape(M * mb, max_detections, 6),
-                valid.reshape(M * mb, max_detections))
+        return det, valid
 
     @jax.jit
     def pp_infer(images):
-        return pp_infer_sm(images.reshape(M, mb, *images.shape[1:]))
+        det, valid = pp_infer_sm(
+            images.reshape(M, D * mb, *images.shape[1:]))
+        return (det.reshape(M * D * mb, max_detections, 6),
+                valid.reshape(M * D * mb, max_detections))
 
     return pp_infer
 
@@ -358,9 +386,11 @@ def make_pp_train_step(model, loss_fn, optimizer, mesh: Mesh,
                        pipe_axis: str = "pipe",
                        cuts: Optional[Sequence[int]] = None,
                        image_hw: Tuple[int, int] = (640, 640),
-                       donate: bool = True) -> Callable:
+                       donate: bool = True,
+                       data_axis: Optional[str] = None) -> Callable:
     """GPipe training step: `step(state, image, labels, mask)` with image
-    (M*mb, H, W, 3), labels (M*mb, nmax, 5), mask (M*mb, nmax).
+    (M*D*mb, H, W, 3), labels (M*D*mb, nmax, 5), mask (M*D*mb, nmax),
+    where D = mesh.shape[data_axis] (1 without a data axis).
 
     Numerically identical to M sequential single-device calls of the
     standard step at accumulate=M (the reference nominal-batch recipe,
@@ -370,13 +400,24 @@ def make_pp_train_step(model, loss_fn, optimizer, mesh: Mesh,
     micro-batches (the GPipe stash); build the model with remat=True to
     trade that for recompute exactly as on one chip.
 
-    Metrics: loss/parts are per-micro-batch MEANS (the accumulate path
-    reports the last micro-batch's); grad_norm is the norm of the summed
-    pre-clip gradient.
+    DPxPP (data_axis given, mesh from make_dp_pp_mesh): each data replica
+    runs the full pipeline on its shard of every micro-batch (micro-batch
+    m's global rows [m*D*mb, (m+1)*D*mb) sharded over "data", matching
+    dp.shard_batch's layout), `microbatch` stays the PER-REPLICA size.
+    Gradients sum over data replicas automatically (the AD transpose of
+    the replicated-param broadcast is a psum over every mesh axis), and
+    BN running stats are pmean-synced over "data" after the pipe
+    ownership merge — the exact semantics of dp.make_dp_train_step at
+    accumulate=M, which the equivalence test pins (tests/test_pp.py).
+
+    Metrics: loss/parts are per-micro-batch MEANS of the global
+    (data-summed) loss (the accumulate path reports the last
+    micro-batch's); grad_norm is the norm of the summed pre-clip gradient.
     """
     from yolov5m_tpu.train.trainer import _ema_decay
 
     S = mesh.shape[pipe_axis]
+    D = mesh.shape[data_axis] if data_axis else 1
     M, mb = num_microbatches, microbatch
     T = M + S - 1
     perm = [(i, i + 1) for i in range(S - 1)]
@@ -434,11 +475,17 @@ def make_pp_train_step(model, loss_fn, optimizer, mesh: Mesh,
         return branch
 
     # The differentiated output (loss) leaves shard_map UN-reduced as a
-    # P(pipe) length-1-per-device vector (see AD-correctness note in the
-    # module docstring); stats/parts are aux and may psum internally.
+    # length-1-per-device vector sharded over every mesh axis (see
+    # AD-correctness note in the module docstring); stats/parts are aux
+    # and may psum internally. Batches are replicated over pipe and (when
+    # composing with DP) sharded over data.
+    dev_axes = ((data_axis, pipe_axis) if data_axis else (pipe_axis,))
+    batch_spec = P(None, data_axis) if data_axis else P()
+
     @functools.partial(
-        shard_map, mesh=mesh, in_specs=(P(), P(), P(), P(), P()),
-        out_specs=(P(pipe_axis), (P(pipe_axis), P())), check_vma=False)
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), batch_spec, batch_spec, batch_spec),
+        out_specs=(P(dev_axes), (P(dev_axes), P())), check_vma=False)
     def pp_loss_sm(params, stats, images, labels, mask):
         stage = lax.axis_index(pipe_axis)
         branches = [stage_branch(b, params, images, labels, mask)
@@ -463,13 +510,19 @@ def make_pp_train_step(model, loss_fn, optimizer, mesh: Mesh,
                     jnp.where(stage == plan.module_stage[mod], x,
                               jnp.zeros_like(x)), pipe_axis), sub)
             for mod, sub in st.items()}
+        if data_axis:
+            # DPxPP: replicas saw different batch shards; pmean-sync the
+            # running buffers so replicas never diverge — the same
+            # local-BN-stats semantics as dp.make_dp_train_step
+            new_stats = jax.tree.map(
+                lambda x: lax.pmean(x, data_axis), new_stats)
         return (loss_acc[None],
                 (jax.tree.map(lambda p: p[None], parts_acc), new_stats))
 
     def step(state, image, labels, mask):
-        image = image.reshape(M, mb, *image.shape[1:])
-        labels = labels.reshape(M, mb, *labels.shape[1:])
-        mask = mask.reshape(M, mb, *mask.shape[1:])
+        image = image.reshape(M, D * mb, *image.shape[1:])
+        labels = labels.reshape(M, D * mb, *labels.shape[1:])
+        mask = mask.reshape(M, D * mb, *mask.shape[1:])
 
         def loss_of(params):
             losses, aux = pp_loss_sm(params, state.batch_stats, image,
