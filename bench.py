@@ -24,6 +24,14 @@ conditioned on hitting the target, no max-selection):
     for both loads, with the random-init/noise cell kept as an A/B
     (`noise_load_median`, `trained_vs_noise`). Weights enter the jit as
     ARGUMENTS, so both loads execute the identical compiled program;
+  * INGRESS REALISM (round 4): the headline cell takes UINT8 inputs and
+    normalizes on device (x/255 -> bf16) — the production serving
+    ingress (serving/server.py ships uint8 over TCP/PCIe; real camera/
+    decode output is uint8). This is also faster than f32 ingress
+    (+1.9%: half the HBM read traffic on the 629 MB input convert —
+    benchmarks/profile_ingress.py). An f32-ingress cell of the same
+    structured load is kept as the A/B (`ingress_u8_vs_f32`);
+    `trained_vs_noise` compares the f32 cells so it isolates LOAD only;
   * the HEADLINE value is the MEDIAN round of the cell whose backend is the
     shipped auto-selected default (ops/nms.py resolve_backend) on the
     trained load (noise load if no weights file) over a fixed time budget,
@@ -72,6 +80,18 @@ from yolov5m_tpu.ops.postprocess import fused_detect
 A100_TARGET_IMG_S = 600.0
 _HERE = os.path.dirname(os.path.abspath(__file__))
 WEIGHTS_PATH = os.path.join(_HERE, "weights", "flagship_synth_bf16.msgpack")
+_T0 = time.time()
+
+
+def _log(msg: str) -> None:
+    """Phase progress on STDERR (stdout stays exactly one JSON line).
+
+    Setup over the relay can cost minutes (4 big pipeline compiles + input
+    generation); without a heartbeat a driver-side timeout is
+    indistinguishable from a hang."""
+    import sys
+    print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr,
+          flush=True)
 
 
 def run_matmul_probe() -> dict:
@@ -110,10 +130,12 @@ def main(batch_size: int = 128, warmup_rounds: int = 2) -> None:
     enable_compile_cache(os.path.join(_HERE, ".jax_cache"))
 
     cfg = Config()
+    _log(f"start: platform={jax.devices()[0].platform}")
     base = YOLOv5(first_out=cfg.first_out, nc=cfg.nc, dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     variables = fold_batchnorm(
         base.init(rng, jnp.zeros((1, 640, 640, 3), jnp.float32)))
+    _log("model init + BN fold done")
     model = YOLOv5(first_out=cfg.first_out, nc=cfg.nc, dtype=jnp.bfloat16,
                    fused=True)
     anchors = jnp.asarray(normalized_anchors())
@@ -159,8 +181,13 @@ def main(batch_size: int = 128, warmup_rounds: int = 2) -> None:
             # acc folds into each input so iteration i+1 depends on i and
             # call j+1 depends on call j: one final scalar fetch proves the
             # whole chain executed. Weights `v` are an argument so every
-            # load profile shares this one compiled program.
+            # load profile of the same input dtype shares this one
+            # compiled program (jit retraces once per ingress dtype).
             def body(acc, x):
+                if x.dtype == jnp.uint8:
+                    # production serving ingress: normalize on device,
+                    # exactly as serving/server.py does behind the socket
+                    x = x.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
                 preds = model.apply(v, x + (acc * 0).astype(x.dtype),
                                     train=False)
                 det, valid = fused_detect(
@@ -185,6 +212,7 @@ def main(batch_size: int = 128, warmup_rounds: int = 2) -> None:
     if default_backend not in backends:
         backends.insert(0, default_backend)
     arm_fns = {b: make_arm(b) for b in backends}
+    _log(f"arms built: {backends}; generating noise inputs")
 
     # distinct device-resident batches, generated on device, stacked into
     # CHAIN_LEN-deep scan inputs
@@ -192,6 +220,7 @@ def main(batch_size: int = 128, warmup_rounds: int = 2) -> None:
         k, (CHAIN_LEN, batch_size, 640, 640, 3), jnp.float32))
     xs_noise = [gen(jax.random.PRNGKey(i)) for i in range(2)]
     jax.block_until_ready(xs_noise)
+    _log("noise inputs resident")
 
     # Measurement cells: (name, backend, variables, inputs). With trained
     # weights present the headline is the default backend on the TRAINED
@@ -203,15 +232,27 @@ def main(batch_size: int = 128, warmup_rounds: int = 2) -> None:
         gen_s = jax.jit(lambda k: jax.vmap(
             lambda kk: synth_batch(kk, batch_size, 640, cfg.nc)[0])(
                 jax.random.split(k, CHAIN_LEN)))
+        # uint8 quantization of the same scenes: what a camera/decoder
+        # actually delivers (quantization error <= 1/510 per pixel; the
+        # detection_density fields record its (nil) effect on the load)
+        gen_s_u8 = jax.jit(lambda k: jnp.round(
+            jax.vmap(lambda kk: synth_batch(kk, batch_size, 640,
+                                            cfg.nc)[0])(
+                jax.random.split(k, CHAIN_LEN)) * 255).astype(jnp.uint8))
         xs_struct = [gen_s(jax.random.PRNGKey(100 + i)) for i in range(2)]
-        jax.block_until_ready(xs_struct)
+        xs_struct_u8 = [gen_s_u8(jax.random.PRNGKey(100 + i))
+                        for i in range(2)]
+        jax.block_until_ready((xs_struct, xs_struct_u8))
+        _log("structured inputs (f32 + uint8) resident")
         t_dev = jax.device_put(trained_vars)
         headline = f"{default_backend}:trained"
-        cells[headline] = (default_backend, t_dev, xs_struct)
+        cells[headline] = (default_backend, t_dev, xs_struct_u8)
+        cells[f"{default_backend}:trained_f32"] = (
+            default_backend, t_dev, xs_struct)
         cells[f"{default_backend}:noise"] = (default_backend, v_dev, xs_noise)
         for b in backends:
             if b != default_backend:
-                cells[f"{b}:trained"] = (b, t_dev, xs_struct)
+                cells[f"{b}:trained"] = (b, t_dev, xs_struct_u8)
     else:
         headline = f"{default_backend}:noise"
         for b in backends:
@@ -219,9 +260,11 @@ def main(batch_size: int = 128, warmup_rounds: int = 2) -> None:
 
     accs = {}
     for name, (b, v, xs) in cells.items():
+        t0 = time.time()
         a = arm_fns[b](v, xs[0], jnp.float32(0.0))
         float(a)                         # compile + warm
         accs[name] = a
+        _log(f"cell {name}: compiled+warm in {time.time() - t0:.1f}s")
 
     # 2 async-enqueued scan calls per timed segment, ONE scalar fetch at the
     # end: back-to-back enqueue lets the device run call j+1 immediately
@@ -256,6 +299,10 @@ def main(batch_size: int = 128, warmup_rounds: int = 2) -> None:
             if time.time() > deadline and per_arm[headline]:
                 break
         n_round += 1
+        if n_round % 25 == 0 or n_round <= 3:
+            _log(f"round {n_round}: headline last "
+                 f"{per_arm[headline][-1]:.1f} img/s"
+                 if per_arm[headline] else f"round {n_round}: warmup")
         # honor the deadline only once at least ONE measured round of the
         # headline arm exists: on a degraded window where warmup alone eats
         # the budget, an empty capture would crash the median below and
@@ -270,6 +317,8 @@ def main(batch_size: int = 128, warmup_rounds: int = 2) -> None:
 
     @jax.jit
     def _density(v, x):
+        if x.dtype == jnp.uint8:
+            x = x.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
         preds = model.apply(v, x, train=False)
         obj = jnp.concatenate(
             [p[..., 4].reshape(p.shape[0], -1) for p in preds], axis=1)
@@ -281,6 +330,8 @@ def main(batch_size: int = 128, warmup_rounds: int = 2) -> None:
             pre_nms_topk=cfg.topk_for_conf(0.25))
         return surv.mean(), valid.sum(axis=1).mean()
 
+    _log(f"measurement done: {len(per_arm[headline])} rounds; "
+         "density probes")
     density = {}
     for name, (b, v, xs) in cells.items():
         if name.split(":")[0] != default_backend:
@@ -296,6 +347,7 @@ def main(batch_size: int = 128, warmup_rounds: int = 2) -> None:
     if os.environ.get("BENCH_SKIP_PROBE"):
         probe = {}
     else:
+        _log("lane-forensics matmul probe (subprocess, <=240s)")
         probe = run_matmul_probe()
 
     headline_rounds = per_arm[headline]
@@ -303,18 +355,22 @@ def main(batch_size: int = 128, warmup_rounds: int = 2) -> None:
     fast_seen = any(r >= A100_TARGET_IMG_S for rs in per_arm.values()
                     for r in rs)
     load_desc = ("trained weights (benchmarks/train_flagship_synth.py) on "
-                 "structured synthetic images"
+                 "structured synthetic images, uint8 ingress + on-device "
+                 "normalize (production serving ingress)"
                  if trained_vars is not None else
                  "random-init weights on uniform noise (no weights file)")
     noise_key = f"{default_backend}:noise"
     noise_median = (round(statistics.median(per_arm[noise_key]), 2)
                     if per_arm.get(noise_key) else None)
+    f32_key = f"{default_backend}:trained_f32"
+    trained_f32_median = (round(statistics.median(per_arm[f32_key]), 2)
+                          if per_arm.get(f32_key) else None)
     out = {
         "metric": "640x640 images/sec/chip incl. NMS (bs=%d, bf16, fused "
                   "postprocess, %s NMS backend, %s)" % (
                       batch_size, default_backend,
-                      "trained-structured load" if trained_vars is not None
-                      else "noise load"),
+                      "trained-structured load, uint8 ingress"
+                      if trained_vars is not None else "noise load"),
         "value": round(img_s, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_s / A100_TARGET_IMG_S, 3),
@@ -324,8 +380,10 @@ def main(batch_size: int = 128, warmup_rounds: int = 2) -> None:
                     "no value-conditioned stopping; one round = %d async-"
                     "enqueued lax.scan calls per cell, each scanning %d "
                     "distinct chained bs=%d batches on device, one scalar "
-                    "fetch per segment; all load cells share one compiled "
-                    "program per backend (weights passed as jit args)" % (
+                    "fetch per segment; headline ingress is uint8 + on-"
+                    "device normalize (production serving mode; f32-ingress "
+                    "A/B cell kept); load cells share one compiled program "
+                    "per (backend, ingress dtype) — weights are jit args" % (
                         "trained load" if trained_vars is not None
                         else "noise load",
                         int(max_seconds), warmup_rounds, SEG_CALLS,
@@ -338,9 +396,14 @@ def main(batch_size: int = 128, warmup_rounds: int = 2) -> None:
         "per_arm_median": {b: round(statistics.median(r), 2)
                            for b, r in per_arm.items() if r},
         "noise_load_median": noise_median,
-        "trained_vs_noise": (round(img_s / noise_median, 3)
-                             if noise_median and trained_vars is not None
+        "trained_f32_ingress_median": trained_f32_median,
+        # load A/B at SAME (f32) ingress: isolates detection-density effect
+        "trained_vs_noise": (round(trained_f32_median / noise_median, 3)
+                             if noise_median and trained_f32_median
                              else None),
+        # ingress A/B at SAME (trained) load: isolates uint8-ingress effect
+        "ingress_u8_vs_f32": (round(img_s / trained_f32_median, 3)
+                              if trained_f32_median else None),
         "detection_density": density,
         "weights_provenance": ({k: weights_meta.get(k) for k in
                                 ("trained", "steps", "final_loss", "data")}
@@ -368,6 +431,7 @@ def main(batch_size: int = 128, warmup_rounds: int = 2) -> None:
                     "vs_baseline": out["vs_baseline"],
                     "max_round": out["max_round"],
                     "rounds": out["rounds_measured"],
+                    "budget_s": int(max_seconds),
                     "lane": out["relay_lane_observed"],
                     "single_program_lane_tflops":
                         out["single_program_lane_tflops"],
