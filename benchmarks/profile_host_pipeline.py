@@ -69,23 +69,34 @@ def main():
                              [0, .7, .3, .15, .25]], np.float32)
         f32 = boxed.astype(np.float32)
 
+        # residual host augment under --device_augment: color jitter and
+        # flips moved on device (ops/augment_device.py), host keeps
+        # rotate + the rare cv2 ops — mirrors data/loaders.py
+        aug_dev = TrainAugment(seed=0, hflip_p=0.0, vflip_p=0.0,
+                               color_jitter_p=0.0)
+
         t_dec = bench_stage(lambda: decode_jpeg(blob))
         t_lb = bench_stage(lb)
         t_aug = bench_stage(lambda: aug(f32.copy(), labels.copy(), 0))
+        t_aug_dev = bench_stage(lambda: aug_dev(f32.copy(), labels.copy(), 0))
         pad = lambda: np.concatenate(
             [labels, np.zeros((8 - len(labels), 5), np.float32)])
         t_pad = bench_stage(pad)
 
         total = t_dec + t_lb + t_aug + t_pad
+        total_dev = t_dec + t_lb + t_aug_dev + t_pad
         results[(h, w)] = (t_dec, t_lb, t_aug, t_pad, total)
         print(f"\nsource {w}x{h} -> 640x640  (ms/image, 1 thread)")
         print(f"  decode    {t_dec:7.2f}")
         print(f"  letterbox {t_lb:7.2f}")
-        print(f"  augment   {t_aug:7.2f}")
+        print(f"  augment   {t_aug:7.2f}   (--device_augment residual: "
+              f"{t_aug_dev:.2f})")
         print(f"  label pad {t_pad:7.3f}")
         print(f"  TOTAL     {total:7.2f}  -> {1e3 / total:7.1f} img/s/core")
-        cores = TRAIN_TARGET * total / 1e3
-        print(f"  cores to feed {TRAIN_TARGET:.0f} img/s: {cores:.1f}")
+        print(f"  cores to feed {TRAIN_TARGET:.0f} img/s: "
+              f"{TRAIN_TARGET * total / 1e3:.1f}   (--device_augment: "
+              f"{TRAIN_TARGET * total_dev / 1e3:.1f}, "
+              f"{1e3 / total_dev:.0f} img/s/core)")
 
 
 if __name__ == "__main__":

@@ -6,10 +6,12 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from yolov5m_tpu.data.augment import TrainAugment, augment_hsv
+from yolov5m_tpu.data.augment import (TrainAugment, _boxes_to_corners,
+                                      augment_hsv)
 from yolov5m_tpu.ops.augment_device import (
-    device_augment_batch, flip_batch, hsv_batch, hsv_jitter, hsv_to_rgb,
-    rgb_to_hsv)
+    _rotate_labels, color_jitter, color_jitter_batch, device_augment_batch,
+    flip_batch, hsv_batch, hsv_jitter, hsv_to_rgb, rgb_to_hsv, rotate_batch,
+    rotate_image)
 
 try:
     import cv2
@@ -109,6 +111,94 @@ def test_flip_probability_zero_is_identity():
     np.testing.assert_array_equal(np.asarray(out_lab[0]), lab)
 
 
+@pytest.mark.parametrize("factors", [(1.15, 0.85, 1.2), (0.8, 1.2, 0.9),
+                                     (1.0, 1.0, 1.0)])
+def test_color_jitter_parity_vs_host(factors):
+    """Device [0,1] color jitter == host [0,255] _color_jitter / 255
+    (the math is scale-invariant; only reduction order can differ)."""
+    rng = np.random.default_rng(10)
+    img01 = _rand_img(rng, 48, 56)
+    host = TrainAugment._color_jitter(img01 * 255.0, None,
+                                      factors=np.asarray(factors)) / 255.0
+    dev = np.asarray(color_jitter(jnp.asarray(img01), jnp.asarray(factors)))
+    np.testing.assert_allclose(dev, host, atol=2e-5)
+
+
+def test_color_jitter_batch_probability_and_identity():
+    rng = np.random.default_rng(11)
+    imgs = jnp.asarray(np.stack([_rand_img(rng, 32, 32)] * 4))
+    out0 = np.asarray(color_jitter_batch(jax.random.PRNGKey(0), imgs, p=0.0))
+    np.testing.assert_array_equal(out0, np.asarray(imgs))
+    out1 = np.asarray(color_jitter_batch(jax.random.PRNGKey(0), imgs, p=1.0))
+    # per-image factors → same source image, different outputs
+    assert not np.allclose(out1[0], out1[1])
+    assert out1.min() >= 0.0 and out1.max() <= 1.0
+
+
+@pytest.mark.skipif(cv2 is None, reason="needs cv2 for the host oracle")
+@pytest.mark.parametrize("angle", [7.0, -19.5, 45.0])
+def test_rotate_image_parity_vs_cv2(angle):
+    """Device bilinear inverse warp matches cv2.warpAffine(INTER_LINEAR,
+    borderValue=0) up to cv2's fixed-point coordinate quantization
+    (INTER_BITS=5 → weights on a 1/32 grid)."""
+    rng = np.random.default_rng(12)
+    img = _rand_img(rng, 64, 80)
+    m = cv2.getRotationMatrix2D((80 / 2, 64 / 2), angle, 1.0)
+    host = cv2.warpAffine(img, m, (80, 64), flags=cv2.INTER_LINEAR,
+                          borderValue=0)
+    dev = np.asarray(rotate_image(jnp.asarray(img), jnp.float32(angle)))
+    diff = np.abs(dev - host)
+    assert diff.mean() < 5e-3, diff.mean()
+    assert np.quantile(diff, 0.99) < 4e-2, np.quantile(diff, 0.99)
+
+
+@pytest.mark.parametrize("angle", [12.0, -20.0])
+def test_rotate_labels_parity_vs_host(angle):
+    """Rotated-hull label math + min-visibility filter == TrainAugment
+    _rotate (same formulas; dropped boxes become mask=False here)."""
+    rng = np.random.default_rng(13)
+    h, w = 64, 80
+    img = _rand_img(rng, h, w)
+    lab, mask = _rand_labels(rng)
+    host_aug = TrainAugment(seed=0)
+    cls = lab[mask][:, 0]
+    corners = _boxes_to_corners(lab[mask])
+    _, h_cls, h_corners = host_aug._rotate(img, cls, corners, angle)
+
+    d_lab, d_mask = _rotate_labels(jnp.asarray(lab), jnp.asarray(mask),
+                                   jnp.float32(angle), w, h,
+                                   min_visibility=0.4)
+    d_keep = np.asarray(d_mask)
+    d_rows = np.asarray(d_lab)[d_keep]
+    assert d_keep.sum() == len(h_cls)
+    np.testing.assert_allclose(d_rows[:, 0], h_cls, atol=1e-6)
+    d_corners = np.stack([d_rows[:, 1] - d_rows[:, 3] / 2,
+                          d_rows[:, 2] - d_rows[:, 4] / 2,
+                          d_rows[:, 1] + d_rows[:, 3] / 2,
+                          d_rows[:, 2] + d_rows[:, 4] / 2], 1)
+    np.testing.assert_allclose(d_corners, h_corners, atol=1e-5)
+
+
+def test_rotate_batch_probability_zero_is_identity():
+    rng = np.random.default_rng(14)
+    img = jnp.asarray(_rand_img(rng)[None])
+    lab, mask = _rand_labels(rng)
+    out_img, out_lab, out_mask = rotate_batch(
+        jax.random.PRNGKey(3), img, jnp.asarray(lab[None]),
+        jnp.asarray(mask[None]), p=0.0)
+    np.testing.assert_array_equal(np.asarray(out_img), np.asarray(img))
+    np.testing.assert_array_equal(np.asarray(out_lab[0]), lab)
+    np.testing.assert_array_equal(np.asarray(out_mask[0]), mask)
+
+
+def test_rotate_zero_angle_is_near_identity():
+    """angle=0 → the warp reduces to exact pixel-center sampling."""
+    rng = np.random.default_rng(15)
+    img = _rand_img(rng, 40, 40)
+    out = np.asarray(rotate_image(jnp.asarray(img), jnp.float32(0.0)))
+    np.testing.assert_allclose(out, img, atol=1e-5)
+
+
 def test_device_augment_batch_jits_and_keeps_shapes():
     rng = np.random.default_rng(6)
     b, s, nb = 4, 64, 12
@@ -119,7 +209,8 @@ def test_device_augment_batch_jits_and_keeps_shapes():
         labs[i], masks[i] = _rand_labels(rng, n=3, nb=nb)
     out_i, out_l, out_m = device_augment_batch(
         jax.random.PRNGKey(0), imgs, jnp.asarray(labs), jnp.asarray(masks),
-        mosaic_p=0.5, hsv=True, hflip_p=0.5, vflip_p=0.5)
+        mosaic_p=0.5, hsv=True, hflip_p=0.5, vflip_p=0.5, cj_p=0.4,
+        rotate_p=0.7)
     assert out_i.shape == imgs.shape
     assert out_l.shape == (b, nb, 5)
     assert out_m.shape == (b, nb)

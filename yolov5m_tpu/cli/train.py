@@ -83,11 +83,12 @@ def arg_parser():
                         "(ops/mosaic.py; host-parity tested) instead of in "
                         "the host loader; partners sample from the batch")
     p.add_argument("--device_augment", action="store_true",
-                   help="run HSV jitter (with --hsv) and horizontal/vertical "
-                        "flips on device as XLA preprocessing "
-                        "(ops/augment_device.py; host-parity tested) — the "
-                        "host loader's flips/HSV are disabled; composes with "
-                        "--device_mosaic into one jitted program per shape")
+                   help="run HSV jitter (with --hsv), color jitter and "
+                        "horizontal/vertical flips on device as XLA "
+                        "preprocessing (ops/augment_device.py; host-parity "
+                        "tested) — the host loader keeps rotate + its rare "
+                        "cv2 ops; composes with --device_mosaic into one "
+                        "jitted program per shape")
     p.add_argument("--multi_scale", type=str, default="auto",
                    help="comma-separated multi-scale sizes (e.g. 512,576,640);"
                         " static jit buckets replacing the reference's random"
@@ -443,13 +444,19 @@ def main(opt):
         dev_mosaic_p = opt.mosaic if device_mosaic else 0.0
         dev_hsv = bool(getattr(opt, "hsv", False)) and device_augment
         dev_flip = 0.5 if device_augment else 0.0
+        # color jitter (reference p=0.4, config.py:41) is elementwise —
+        # free on device (dispatch-floor, ROUND4_NOTES §9). Rotate stays
+        # on the HOST: its device form is gather-bound (~11x the
+        # elementwise floor) and would eat the step; 3.3 ms on one loader
+        # core beats that (ops/augment_device.py rotate_batch docstring).
+        dev_cj = 0.4 if device_augment else 0.0
 
         @jax.jit
         def mosaic_step(seed, img, lab, msk):
             key = jax.random.fold_in(jax.random.PRNGKey(0), seed)
             return device_augment_batch(
                 key, img, lab, msk, mosaic_p=dev_mosaic_p, hsv=dev_hsv,
-                hflip_p=dev_flip, vflip_p=dev_flip)
+                hflip_p=dev_flip, vflip_p=dev_flip, cj_p=dev_cj)
 
     try:
         for epoch in range(starting_epoch, opt.epochs + starting_epoch):

@@ -117,13 +117,17 @@ class TrainAugment:
         return np.ascontiguousarray(img, dtype=np.float32), labels
 
     @staticmethod
-    def _color_jitter(img, r, limit=0.2):
+    def _color_jitter(img, r, limit=0.2, factors=None):
+        # factors: optional explicit (brightness, contrast, saturation) —
+        # used by the parity test against ops/augment_device.py
+        fb, fc, fs = (factors if factors is not None else
+                      r.uniform(1 - limit, 1 + limit, 3))
         img = img.astype(np.float32)
-        img = img * r.uniform(1 - limit, 1 + limit)                    # brightness
+        img = img * fb                                                 # brightness
         mean = img.mean()
-        img = (img - mean) * r.uniform(1 - limit, 1 + limit) + mean    # contrast
+        img = (img - mean) * fc + mean                                 # contrast
         gray = img.mean(axis=-1, keepdims=True)
-        img = (img - gray) * r.uniform(1 - limit, 1 + limit) + gray    # saturation
+        img = (img - gray) * fs + gray                                 # saturation
         return np.clip(img, 0, 255)
 
     def _rotate(self, img, cls, corners, angle):

@@ -39,10 +39,12 @@ def get_loaders(
 ) -> Tuple[BatchLoader, BatchLoader]:
     """Build train/val BatchLoaders over the standard directory layout.
 
-    device_augment: flips (and HSV, via the hsv flag upstream) run on device
-    (ops/augment_device.py) — the host TrainAugment keeps its cv2-only
-    low-probability ops (rotate/blur/CLAHE/posterize/channel-shuffle) but
-    drops its flips so the batch isn't double-flipped."""
+    device_augment: flips, HSV (via the hsv flag upstream) and color
+    jitter run on device (ops/augment_device.py) — the host TrainAugment
+    keeps rotate (device rotate is gather-bound and loses, ROUND4_NOTES
+    §9) plus its rare cv2-only ops (blur/CLAHE/posterize/channel-
+    shuffle), so the batch isn't double-augmented and the host budget
+    drops by the two biggest elementwise costs (color jitter + flips)."""
     train_ds = DetectionDataset(
         root_directory=db_root_dir, train=True, rect_training=rect_training,
         default_size=default_size, bs=batch_size, bboxes_format=box_format,
@@ -54,7 +56,8 @@ def get_loaders(
 
     host_aug = None
     if augment:
-        host_aug = TrainAugment(seed=seed, hflip_p=0.0, vflip_p=0.0) \
+        host_aug = TrainAugment(seed=seed, hflip_p=0.0, vflip_p=0.0,
+                                color_jitter_p=0.0) \
             if device_augment else TrainAugment(seed=seed)
     train_loader = BatchLoader(
         train_ds, batch_size,

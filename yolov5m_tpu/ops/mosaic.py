@@ -22,9 +22,17 @@ s x s shape, collapsing the reference-style per-quadrant case analysis to
     src_row = u - yc + (s if u < yc else 0)   (same for columns)
 with out-of-range rows/cols taking the fill value.
 
-TPU notes: the whole op is gathers + elementwise + one 2x2 mean — no
-data-dependent shapes; it jits into the train step so mosaic runs on
-device between the host loader and the forward pass.
+TPU notes: no data-dependent shapes; the op jits into the train step so
+mosaic runs on device between the host loader and the forward pass.
+Because each quadrant is a GLOBAL SHIFT of one source image, the canvas
+is built from four dynamic rolls (concat + dynamic-slice = contiguous
+DMA-friendly copies) plus masked selects — NOT an arbitrary
+``imgs4[quad, row, col]`` gather. Arbitrary gathers execute on the TPU
+scalar/vector path and measured ~44 ms/image at 640² (ROUND4_NOTES §9);
+the roll construction is pure bulk memory traffic. The wrap-around rows
+a roll drags in always land either in the zero-pad half of the padded
+source or outside the quadrant's validity mask, so they never reach the
+output (proof in _mosaic_one).
 """
 
 from __future__ import annotations
@@ -51,16 +59,42 @@ def _mosaic_one(imgs4, labs4, mask4, yc, xc, min_visibility, fill):
     col = u - xc + jnp.where(u < xc, s, 0)
     row_ok = (row >= 0) & (row < s)
     col_ok = (col >= 0) & (col < s)
-    rowc = jnp.clip(row, 0, s - 1)
-    colc = jnp.clip(col, 0, s - 1)
-    quad = ((u[:, None] >= yc).astype(jnp.int32) * 2
-            + (u[None, :] >= xc).astype(jnp.int32))          # (2s, 2s)
 
-    canvas = imgs4[quad, rowc[:, None], colc[None, :]]        # (2s, 2s, 3)
+    # Canvas via 4 dynamic rolls instead of a (2s,2s) gather (see module
+    # docstring). Image k sits at canvas[u, v] = img_k[u - dy_k, v - dx_k]
+    # with dy = yc - s (top) / yc (bottom), dx likewise — exactly the
+    # label offsets below. Pad each source into the top-left of a
+    # (2s, 2s) zero canvas and roll by (dy, dx): a canvas position whose
+    # rolled index wraps past the source lands in the pad half
+    # (index >= s → reads 0) precisely when its src coord is out of
+    # [0, s), and those positions are overwritten by `fill` via row_ok/
+    # col_ok — so wrap-around never leaks pixels.
+    top_q = jnp.asarray([True, True, False, False])
+    left_q = jnp.asarray([True, False, True, False])
+    dy4 = jnp.where(top_q, yc - s, yc)                        # (4,)
+    dx4 = jnp.where(left_q, xc - s, xc)
+    padded = jnp.pad(imgs4, ((0, 0), (0, s), (0, s), (0, 0)))  # (4, 2s, 2s, 3)
+    rolled = jax.vmap(
+        lambda img, dy, dx: jnp.roll(img, (dy, dx), axis=(0, 1)))(
+        padded, dy4, dx4)                                     # (4, 2s, 2s, 3)
+    in_bottom = (u[:, None] >= yc)                            # (2s, 1)
+    in_right = (u[None, :] >= xc)                             # (1, 2s)
+    canvas = jnp.where((in_bottom | in_right)[..., None],
+                       jnp.where(in_bottom[..., None],
+                                 jnp.where(in_right[..., None],
+                                           rolled[3], rolled[2]),
+                                 rolled[1]),
+                       rolled[0])                             # (2s, 2s, 3)
     ok = (row_ok[:, None] & col_ok[None, :])[..., None]
     canvas = jnp.where(ok, canvas, jnp.asarray(fill, canvas.dtype))
-    # 2x downscale == 2x2 mean (exact INTER_LINEAR at scale 0.5)
-    img = canvas.reshape(s, 2, s, 2, 3).mean(axis=(1, 3))
+    # 2x downscale == 2x2 mean (exact INTER_LINEAR at scale 0.5).
+    # Strided slices, NOT reshape(s, 2, s, 2, 3).mean((1, 3)): on TPU the
+    # 6-D reshape materializes with the size-2 dims minor, and the
+    # T(8,128) tiled layout pads 2 -> 128 — a 64x HBM blowup (80 GB at
+    # bs=64, 640²; found when the compile OOMed). Slices keep the
+    # canvas layout and fuse into the mean.
+    img = (canvas[0::2, 0::2] + canvas[0::2, 1::2] +
+           canvas[1::2, 0::2] + canvas[1::2, 1::2]) * 0.25
 
     # ---- labels: shift to canvas space, clip, min-visibility filter ----
     cls = labs4[..., 0]                                       # (4, nb)
