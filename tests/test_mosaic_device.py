@@ -29,11 +29,12 @@ def test_device_mosaic_matches_host(rng):
     imgs, labs = _random_items(rng)
 
     host_rng = np.random.default_rng(7)
+    # even center: the device path quantizes centers to even coordinates
+    # (documented deviation, ops/mosaic.py), so force the same even
+    # center on the host for an exact comparison
+    yc, xc = 54, 86
     img_h, lab_h = mosaic4([(imgs[k], labs[k]) for k in range(4)], S,
-                           host_rng)
-    probe = np.random.default_rng(7)          # recover the drawn center
-    yc = int(probe.integers(S // 2, 3 * S // 2))
-    xc = int(probe.integers(S // 2, 3 * S // 2))
+                           host_rng, center=(yc, xc))
 
     labels = np.zeros((4, NB, 5), np.float32)
     mask = np.zeros((4, NB), bool)
@@ -77,6 +78,27 @@ def test_device_mosaic_label_capacity_and_validity(rng):
     assert int(mask_d[0].sum()) == small_nb  # capacity filled, no overflow
     got = np.asarray(lab_d[0])
     assert np.all(got[np.asarray(mask_d[0]), 0] == 1)
+
+
+def test_device_mosaic_center_quantized_to_even(rng):
+    """An odd center behaves exactly like its even floor (the documented
+    ≤0.5-px seam quantization that lets the downscale commute with
+    placement)."""
+    imgs, labs = _random_items(rng)
+    labels = np.zeros((4, NB, 5), np.float32)
+    mask = np.zeros((4, NB), bool)
+    for k, lab in enumerate(labs):
+        labels[k, :len(lab)] = lab
+        mask[k, :len(lab)] = True
+    idx = np.tile(np.arange(4, dtype=np.int32), (4, 1))
+    odd = np.tile(np.asarray([[55, 87]], np.int32), (4, 1))
+    even = np.tile(np.asarray([[54, 86]], np.int32), (4, 1))
+    a = mosaic_batch(jnp.asarray(imgs / 255.0), jnp.asarray(labels),
+                     jnp.asarray(mask), jnp.asarray(idx), jnp.asarray(odd))
+    b = mosaic_batch(jnp.asarray(imgs / 255.0), jnp.asarray(labels),
+                     jnp.asarray(mask), jnp.asarray(idx), jnp.asarray(even))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
 def test_random_mosaic_batch_p0_and_p1(rng):

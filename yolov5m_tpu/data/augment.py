@@ -181,18 +181,25 @@ def augment_hsv(img: np.ndarray, rng: np.random.Generator,
 
 
 def mosaic4(items, out_size: int, rng: np.random.Generator,
-            fill: float = 114.0):
+            fill: float = 114.0, center=None):
     """Combine 4 (image, labels) pairs into one mosaic of out_size².
 
     Standard YOLO mosaic: a 2s canvas with a jittered center, one image per
     quadrant, then downscaled to s. Labels are (n, 5) normalized (cls, cx,
     cy, w, h) per source image and come back in the same format for the
     mosaic, clipped with min-visibility filtering.
+
+    center: optional explicit (yc, xc) — used by the parity test against
+    the on-device implementation (ops/mosaic.py quantizes its centers to
+    even coordinates; force an even center here to compare exactly).
     """
     s = out_size
     canvas = np.full((2 * s, 2 * s, 3), fill, np.float32)
-    yc = int(rng.integers(s // 2, 3 * s // 2))
-    xc = int(rng.integers(s // 2, 3 * s // 2))
+    if center is not None:
+        yc, xc = int(center[0]), int(center[1])
+    else:
+        yc = int(rng.integers(s // 2, 3 * s // 2))
+        xc = int(rng.integers(s // 2, 3 * s // 2))
     out_cls, out_corners, out_area = [], [], []
 
     for k, (img, labels) in enumerate(items):

@@ -23,16 +23,23 @@ s x s shape, collapsing the reference-style per-quadrant case analysis to
 with out-of-range rows/cols taking the fill value.
 
 TPU notes: no data-dependent shapes; the op jits into the train step so
-mosaic runs on device between the host loader and the forward pass.
-Because each quadrant is a GLOBAL SHIFT of one source image, the canvas
-is built from four dynamic rolls (concat + dynamic-slice = contiguous
-DMA-friendly copies) plus masked selects — NOT an arbitrary
-``imgs4[quad, row, col]`` gather. Arbitrary gathers execute on the TPU
-scalar/vector path and measured ~44 ms/image at 640² (ROUND4_NOTES §9);
-the roll construction is pure bulk memory traffic. The wrap-around rows
-a roll drags in always land either in the zero-pad half of the padded
-source or outside the quadrant's validity mask, so they never reach the
-output (proof in _mosaic_one).
+mosaic runs on device between the host loader and the forward pass. The
+formulation is chosen for how XLA:TPU lowers it (ROUND4_NOTES §9 has the
+measured failures of the alternatives):
+
+  * centers are quantized to even coordinates, which makes the 2x
+    downscale COMMUTE with quadrant placement — all sources are halved
+    once (vectorized strided-slice mean) and the mosaic is then pure
+    single-pixel placement at half resolution: no (2s)² canvas exists;
+  * each quadrant is a GLOBAL SHIFT of one half-res source, built with
+    dynamic rolls (concat + dynamic-slice = contiguous copies) + masked
+    selects under per-item lax.map — NOT an arbitrary
+    ``imgs4[quad, row, col]`` gather (scalar-path bound, measured
+    ~44 ms/image), and NOT vmapped rolls (vmap lowers dynamic slices to
+    gathers and materializes ~15 GB of temps at bs=64);
+  * wrap-around rows a roll drags in always land either in the zero-pad
+    half of the padded source or outside the quadrant's validity mask,
+    so they never reach the output (proof in _assemble_one).
 """
 
 from __future__ import annotations
@@ -47,56 +54,74 @@ from yolov5m_tpu.data.augment import MIN_VISIBILITY
 FILL = 114.0 / 255.0
 
 
-def _mosaic_one(imgs4, labs4, mask4, yc, xc, min_visibility, fill):
-    """imgs4: (4, s, s, 3) in [0,1]; labs4: (4, nb, 5) normalized
-    (cls, cx, cy, w, h); mask4: (4, nb) bool; yc, xc: int32 canvas center.
-    Returns (img (s, s, 3), labels (nb, 5), mask (nb,))."""
-    s = imgs4.shape[1]
-    nb = labs4.shape[1]
+def _halve(images):
+    """(..., s, s, 3) → (..., s/2, s/2, 3) by the exact 2x2 box mean.
 
-    u = jax.lax.iota(jnp.int32, 2 * s)
-    row = u - yc + jnp.where(u < yc, s, 0)
-    col = u - xc + jnp.where(u < xc, s, 0)
-    row_ok = (row >= 0) & (row < s)
-    col_ok = (col >= 0) & (col < s)
+    Strided slices, NOT reshape(s, 2, s, 2, 3).mean((1, 3)): on TPU the
+    6-D reshape materializes with the size-2 dims minor, and the T(8,128)
+    tiled layout pads 2 -> 128 — a 64x HBM blowup (80 GB at bs=64, 640²;
+    found when the compile OOMed). Slices keep the layout and fuse."""
+    return (images[..., 0::2, 0::2, :] + images[..., 0::2, 1::2, :] +
+            images[..., 1::2, 0::2, :] + images[..., 1::2, 1::2, :]) * 0.25
 
-    # Canvas via 4 dynamic rolls instead of a (2s,2s) gather (see module
-    # docstring). Image k sits at canvas[u, v] = img_k[u - dy_k, v - dx_k]
-    # with dy = yc - s (top) / yc (bottom), dx likewise — exactly the
-    # label offsets below. Pad each source into the top-left of a
-    # (2s, 2s) zero canvas and roll by (dy, dx): a canvas position whose
-    # rolled index wraps past the source lands in the pad half
-    # (index >= s → reads 0) precisely when its src coord is out of
-    # [0, s), and those positions are overwritten by `fill` via row_ok/
-    # col_ok — so wrap-around never leaks pixels.
+
+def _assemble_one(padded, idx4, yc, xc, fill):
+    """Assemble one s×s mosaic from pre-halved, pre-padded sources.
+
+    padded: (B, s, s, 3) — each row is a HALF-RES source in the top-left
+    quarter, zeros elsewhere. yc, xc: EVEN canvas center. Because the
+    center is even, output pixel (i, j) equals half_k[i - dy_k/2,
+    j - dx_k/2] exactly (the 2x2 canvas mean never straddles a quadrant
+    or validity boundary), so no full-res canvas is ever built.
+
+    Runs under lax.map (one item at a time): the dynamic-shift rolls
+    lower to concat + dynamic_slice (contiguous copies). Under vmap they
+    would lower to gathers — the scalar-path catastrophe this
+    formulation exists to avoid (ROUND4_NOTES §9).
+
+    Wrap-around proof (half-res analog of the old full-res argument):
+    rolled[i] reads padded[(i - dy2) mod s]; whenever the src coord is
+    outside [0, h), the wrapped index lands in the zero-pad half
+    ([h, s)) — top: i - dy2 ∈ [h - yc2, h), negatives wrap to
+    [s - (yc2 - h), s) ⊆ [h, s) since yc2 < s; bottom: i - dy2 ∈
+    [0, s - yc2) and the invalid tail [h, s - yc2) is already pad — and
+    those positions are overwritten with `fill` via the ok mask."""
+    s = padded.shape[1]
+    h = s // 2
+    yc2, xc2 = yc // 2, xc // 2
+
     top_q = jnp.asarray([True, True, False, False])
     left_q = jnp.asarray([True, False, True, False])
-    dy4 = jnp.where(top_q, yc - s, yc)                        # (4,)
-    dx4 = jnp.where(left_q, xc - s, xc)
-    padded = jnp.pad(imgs4, ((0, 0), (0, s), (0, s), (0, 0)))  # (4, 2s, 2s, 3)
-    rolled = jax.vmap(
-        lambda img, dy, dx: jnp.roll(img, (dy, dx), axis=(0, 1)))(
-        padded, dy4, dx4)                                     # (4, 2s, 2s, 3)
-    in_bottom = (u[:, None] >= yc)                            # (2s, 1)
-    in_right = (u[None, :] >= xc)                             # (1, 2s)
-    canvas = jnp.where((in_bottom | in_right)[..., None],
-                       jnp.where(in_bottom[..., None],
-                                 jnp.where(in_right[..., None],
-                                           rolled[3], rolled[2]),
-                                 rolled[1]),
-                       rolled[0])                             # (2s, 2s, 3)
-    ok = (row_ok[:, None] & col_ok[None, :])[..., None]
-    canvas = jnp.where(ok, canvas, jnp.asarray(fill, canvas.dtype))
-    # 2x downscale == 2x2 mean (exact INTER_LINEAR at scale 0.5).
-    # Strided slices, NOT reshape(s, 2, s, 2, 3).mean((1, 3)): on TPU the
-    # 6-D reshape materializes with the size-2 dims minor, and the
-    # T(8,128) tiled layout pads 2 -> 128 — a 64x HBM blowup (80 GB at
-    # bs=64, 640²; found when the compile OOMed). Slices keep the
-    # canvas layout and fuse into the mean.
-    img = (canvas[0::2, 0::2] + canvas[0::2, 1::2] +
-           canvas[1::2, 0::2] + canvas[1::2, 1::2]) * 0.25
+    dy4 = jnp.where(top_q, yc - s, yc) // 2                   # (4,) even/2
+    dx4 = jnp.where(left_q, xc - s, xc) // 2
 
-    # ---- labels: shift to canvas space, clip, min-visibility filter ----
+    rolled = []
+    for k in range(4):
+        img_k = padded[idx4[k]]                               # (s, s, 3)
+        rolled.append(jnp.roll(img_k, (dy4[k], dx4[k]), axis=(0, 1)))
+
+    i2 = jax.lax.iota(jnp.int32, s)
+    in_bottom = (i2[:, None] >= yc2)                          # (s, 1)
+    in_right = (i2[None, :] >= xc2)                           # (1, s)
+    img = jnp.where((in_bottom | in_right)[..., None],
+                    jnp.where(in_bottom[..., None],
+                              jnp.where(in_right[..., None],
+                                        rolled[3], rolled[2]),
+                              rolled[1]),
+                    rolled[0])                                # (s, s, 3)
+    row = i2 - yc2 + jnp.where(i2 < yc2, h, 0)
+    col = i2 - xc2 + jnp.where(i2 < xc2, h, 0)
+    ok = (((row >= 0) & (row < h))[:, None]
+          & ((col >= 0) & (col < h))[None, :])[..., None]
+    return jnp.where(ok, img, jnp.asarray(fill, img.dtype))
+
+
+def _mosaic_labels(labs4, mask4, yc, xc, s, min_visibility):
+    """labs4: (4, nb, 5) normalized (cls, cx, cy, w, h); mask4: (4, nb);
+    yc, xc: int32 canvas center. Returns (labels (nb, 5), mask (nb,)).
+
+    ---- labels: shift to canvas space, clip, min-visibility filter ----"""
+    nb = labs4.shape[1]
     cls = labs4[..., 0]                                       # (4, nb)
     cx, cy = labs4[..., 1], labs4[..., 2]
     w, h = labs4[..., 3], labs4[..., 4]
@@ -128,7 +153,7 @@ def _mosaic_one(imgs4, labs4, mask4, yc, xc, min_visibility, fill):
     slot = jnp.where(keep_f & (rank < nb), rank, nb)
     out_labels = jnp.zeros((nb + 1, 5), jnp.float32).at[slot].set(rows)
     out_mask = jnp.zeros((nb + 1,), jnp.bool_).at[slot].set(keep_f)
-    return img, out_labels[:nb], out_mask[:nb]
+    return out_labels[:nb], out_mask[:nb]
 
 
 @functools.partial(jax.jit, static_argnames=("min_visibility", "fill"))
@@ -138,14 +163,31 @@ def mosaic_batch(images, labels, mask, idx, centers,
 
     images: (B, s, s, 3) float in [0,1] (loader output); labels: (B, nb, 5);
     mask: (B, nb); idx: (B, 4) int32 indices into the batch; centers: (B, 2)
-    int32 (yc, xc), each in [s//2, 3s//2).
+    int32 (yc, xc), each in [s//2, 3s//2). Centers are quantized to EVEN
+    coordinates (documented deviation: a ≤1-px shift of the mosaic seam on
+    the 2s canvas, i.e. ≤0.5 px after downscale — irrelevant to the
+    augmentation distribution). Even centers make the 2x downscale commute
+    with quadrant placement, so the whole op is: halve every source ONCE
+    (vectorized strided-slice mean), then per item place four half-res
+    tiles with dynamic rolls under lax.map — no (2s)² canvas, no gathers,
+    bounded temps. The previous formulations measured: arbitrary-gather
+    canvas 44 ms/img; full-res rolls under vmap (gather-lowered) 10 ms/img
+    and 15 GB of temps at bs=64 (ROUND4_NOTES §9).
     """
-    imgs4 = images[idx]                                       # (B, 4, s, s, 3)
-    labs4 = labels[idx]
-    mask4 = mask[idx]
-    f = functools.partial(_mosaic_one, min_visibility=min_visibility,
-                          fill=fill)
-    return jax.vmap(f)(imgs4, labs4, mask4, centers[:, 0], centers[:, 1])
+    centers = centers - (centers % 2)
+    half = _halve(images)                                     # (B, h, h, 3)
+    s = images.shape[1]
+    padded = jnp.pad(half, ((0, 0), (0, s - s // 2), (0, s - s // 2),
+                            (0, 0)))                          # (B, s, s, 3)
+
+    def one(args):
+        idx4, cen = args
+        img = _assemble_one(padded, idx4, cen[0], cen[1], fill)
+        lab, msk = _mosaic_labels(labels[idx4], mask[idx4], cen[0], cen[1],
+                                  s, min_visibility)
+        return img, lab, msk
+
+    return jax.lax.map(one, (idx, centers))
 
 
 def random_mosaic_batch(key, images, labels, mask, p: float,
