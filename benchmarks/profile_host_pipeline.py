@@ -57,7 +57,6 @@ def main():
                                          native_available)
 
     print(f"native kernels available: {native_available()}")
-    results = {}
     for (h, w) in ((480, 640), (960, 1280)):
         blob = make_jpeg(h, w)
         img = decode_jpeg(blob)
@@ -77,20 +76,29 @@ def main():
 
         t_dec = bench_stage(lambda: decode_jpeg(blob))
         t_lb = bench_stage(lb)
-        t_aug = bench_stage(lambda: aug(f32.copy(), labels.copy(), 0))
-        t_aug_dev = bench_stage(lambda: aug_dev(f32.copy(), labels.copy(), 0))
+        # production pays ONE u8->f32 conversion per image (data/dataset.py
+        # returns img.astype(np.float32)); time it as its own stage. The
+        # augment lambdas need a fresh input per call (augments mutate), so
+        # they pay an f32 copy per iteration that production does NOT — net
+        # it out with a measured copy cost so t_aug is the augment alone.
+        t_f32 = bench_stage(lambda: boxed.astype(np.float32))
+        t_copy = bench_stage(lambda: f32.copy())
+        t_aug = bench_stage(lambda: aug(f32.copy(), labels, 0)) - t_copy
+        t_aug_dev = bench_stage(
+            lambda: aug_dev(f32.copy(), labels, 0)) - t_copy
         pad = lambda: np.concatenate(
             [labels, np.zeros((8 - len(labels), 5), np.float32)])
         t_pad = bench_stage(pad)
 
-        total = t_dec + t_lb + t_aug + t_pad
-        total_dev = t_dec + t_lb + t_aug_dev + t_pad
-        results[(h, w)] = (t_dec, t_lb, t_aug, t_pad, total)
+        total = t_dec + t_lb + t_f32 + t_aug + t_pad
+        total_dev = t_dec + t_lb + t_f32 + t_aug_dev + t_pad
         print(f"\nsource {w}x{h} -> 640x640  (ms/image, 1 thread)")
         print(f"  decode    {t_dec:7.2f}")
         print(f"  letterbox {t_lb:7.2f}")
+        print(f"  to f32    {t_f32:7.2f}")
         print(f"  augment   {t_aug:7.2f}   (--device_augment residual: "
-              f"{t_aug_dev:.2f})")
+              f"{t_aug_dev:.2f}; measured f32-copy overhead "
+              f"{t_copy:.2f} netted out)")
         print(f"  label pad {t_pad:7.3f}")
         print(f"  TOTAL     {total:7.2f}  -> {1e3 / total:7.1f} img/s/core")
         print(f"  cores to feed {TRAIN_TARGET:.0f} img/s: "

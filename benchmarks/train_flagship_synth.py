@@ -18,7 +18,7 @@ Protocol notes:
   * saves EMA params + live BN stats, bf16, via flax msgpack to
     weights/flagship_synth_bf16.msgpack + a provenance sidecar JSON.
 
-Usage: PYTHONPATH=. python benchmarks/train_flagship_synth.py [--steps 1500]
+Usage: PYTHONPATH=/root/repo:$PYTHONPATH python benchmarks/train_flagship_synth.py [--steps 1500]
 """
 
 import argparse
@@ -36,7 +36,7 @@ from yolov5m_tpu.data.synthetic import synth_batch
 from yolov5m_tpu.models import YOLOv5
 from yolov5m_tpu.models.fuse import fold_batchnorm
 from yolov5m_tpu.models.yolo import normalized_anchors
-from yolov5m_tpu.ops.postprocess import fused_detect
+from yolov5m_tpu.ops.postprocess import gate_density
 from yolov5m_tpu.train import LossConfig, YoloLoss
 from yolov5m_tpu.train.trainer import (
     accumulation_steps, create_train_state, make_optimizer, make_train_step)
@@ -104,20 +104,17 @@ def main(steps: int = 1500, bs: int = 64, lr: float = 1e-3, seed: int = 0):
     fmodel = YOLOv5(first_out=cfg.first_out, nc=cfg.nc, dtype=jnp.bfloat16,
                     fused=True)
     anchors = jnp.asarray(normalized_anchors())
-    thresh = float(np.log(0.25 / 0.75))
 
     @jax.jit
     def density(x):
+        # shared statistic definition: ops/postprocess.py gate_density
+        # (same fn bench.py's detection_density record uses)
         preds = fmodel.apply(fused_vars, x, train=False)
-        obj = jnp.concatenate(
-            [p[..., 4].reshape(p.shape[0], -1) for p in preds], axis=1)
-        survivors = (obj.astype(jnp.float32) > thresh).sum(axis=1)
-        det, valid = fused_detect(
+        return gate_density(
             preds, anchors, conf_threshold=0.25,
             iou_threshold=cfg.nms_iou_thresh,
             max_detections=cfg.max_detections,
             pre_nms_topk=cfg.topk_for_conf(0.25))
-        return survivors, valid.sum(axis=1)
 
     @jax.jit
     def structured(key):

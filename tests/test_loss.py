@@ -184,3 +184,53 @@ def test_label_smoothing_changes_cls_targets_only():
     assert float(smooth[1]["box"]) == float(base[1]["box"])
     assert float(smooth[1]["obj"]) == float(base[1]["obj"])
     assert float(smooth[1]["cls"]) != float(base[1]["cls"])
+
+
+def test_num_den_compose_equals_call(rng):
+    """YoloLoss.num_den + compose is bit-identical to __call__ for both
+    loss kinds — parallel/pp.py composes the loss from these raw
+    numerator/denominator sums outside its shard_map, so any drift
+    between the two paths would silently skew PP training."""
+    bs = 3
+    labels, mask, _ = _random_labels(rng, bs, counts=[1, 4, 2])
+    preds = _random_preds(rng, bs)
+    for kind in ("custom", "ultralytics"):
+        lf = YoloLoss(LossConfig(nc=NC, image_size=64),
+                      np.asarray(ANCHORS, np.float32), kind=kind)
+        total, parts = lf(list(map(jnp.asarray, preds)),
+                          jnp.asarray(labels), jnp.asarray(mask))
+        nums, dens = lf.num_den(list(map(jnp.asarray, preds)),
+                                jnp.asarray(labels), jnp.asarray(mask))
+        for part in ("box", "obj", "cls"):
+            assert nums[part].shape == dens[part].shape == (3,)
+        total2, parts2 = lf.compose(nums, dens, bs)
+        assert float(total) == float(total2), kind
+        for k in parts:
+            assert float(parts[k]) == float(parts2[k]), (kind, k)
+
+
+def test_num_den_cross_shard_sum_is_global_mean(rng):
+    """Summing num/den over batch shards BEFORE dividing reproduces the
+    full-batch loss exactly even with uneven box counts per shard — the
+    property DPxPP training relies on (a sum of per-shard means would
+    differ here)."""
+    labels, mask, _ = _random_labels(rng, 4, counts=[1, 7, 3, 2])
+    preds = _random_preds(rng, 4)
+    for kind in ("custom", "ultralytics"):
+        lf = YoloLoss(LossConfig(nc=NC, image_size=64),
+                      np.asarray(ANCHORS, np.float32), kind=kind)
+        full, _ = lf(list(map(jnp.asarray, preds)),
+                     jnp.asarray(labels), jnp.asarray(mask))
+        acc = None
+        local_means = 0.0
+        for sl in (slice(0, 2), slice(2, 4)):  # two "data shards"
+            nd = lf.num_den([jnp.asarray(p[sl]) for p in preds],
+                            jnp.asarray(labels[sl]), jnp.asarray(mask[sl]))
+            acc = nd if acc is None else jax.tree.map(jnp.add, acc, nd)
+            local_means += float(lf.compose(*nd, 2)[0])
+        composed = float(lf.compose(*acc, 4)[0])
+        np.testing.assert_allclose(composed, float(full), rtol=1e-6)
+        # teeth: with uneven counts the sum of per-shard LOCAL losses (the
+        # quantity a naive composition would produce — both scale by the
+        # same global bs overall) really differs from the exact global one
+        assert abs(local_means - composed) / composed > 1e-4, kind

@@ -4,6 +4,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from yolov5m_tpu.data.augment import mosaic4
 from yolov5m_tpu.ops.mosaic import mosaic_batch, random_mosaic_batch
@@ -25,14 +26,19 @@ def _random_items(rng, n_boxes=(3, 2, 0, 4)):
     return imgs, labs
 
 
-def test_device_mosaic_matches_host(rng):
+# centers span the full sampling range [S/2, 3S/2): an interior point plus
+# the extreme corners/mixed cases, where the dynamic-roll assembly's
+# wrap-around indices are maximal — a modular-arithmetic bug confined to
+# one boundary regime would pass an interior-only parity check
+@pytest.mark.parametrize("yc,xc", [(54, 86), (32, 32), (94, 94),
+                                   (32, 94), (94, 32)])
+def test_device_mosaic_matches_host(rng, yc, xc):
     imgs, labs = _random_items(rng)
 
     host_rng = np.random.default_rng(7)
-    # even center: the device path quantizes centers to even coordinates
+    # even centers: the device path quantizes centers to even coordinates
     # (documented deviation, ops/mosaic.py), so force the same even
     # center on the host for an exact comparison
-    yc, xc = 54, 86
     img_h, lab_h = mosaic4([(imgs[k], labs[k]) for k in range(4)], S,
                            host_rng, center=(yc, xc))
 

@@ -164,7 +164,13 @@ def test_dp_pp_train_matches_dp_accumulate(rng):
     equals the DP-of-accumulate=M baseline: M sequential DP calls, each on
     one micro-batch sharded over the same 2 data replicas. Params, EMA,
     BN running stats (pmean-synced over data in both paths), and Adam
-    moments must all match."""
+    moments must all match.
+
+    Valid-box counts VARY across images (and hence across data shards):
+    per-shard masked-mean losses do not commute with the cross-replica sum
+    when counts differ, so this pins that DPxPP composes the global
+    numerator/denominator sums (the exact DP semantics), not a sum of
+    local means."""
     from yolov5m_tpu.parallel import (make_dp_pp_mesh, make_dp_train_step,
                                       make_mesh, replicate_state,
                                       shard_batch)
@@ -185,10 +191,13 @@ def test_dp_pp_train_matches_dp_accumulate(rng):
     n = M * D * mb
     images = rng.uniform(0, 1, (n, HW, HW, 3)).astype(np.float32)
     labels = np.zeros((n, 8, 5), np.float32)
-    labels[:, 0] = [1, 0.4, 0.6, 0.3, 0.2]
-    labels[:, 1] = [2, 0.7, 0.3, 0.2, 0.4]
     mask = np.zeros((n, 8), bool)
-    mask[:, :2] = True
+    for b in range(n):  # uneven counts across shards (see docstring)
+        k = int(rng.integers(1, 8))
+        labels[b, :k, 0] = rng.integers(0, NC, k)
+        labels[b, :k, 1:3] = rng.uniform(0.2, 0.8, (k, 2))
+        labels[b, :k, 3:5] = rng.uniform(0.05, 0.3, (k, 2))
+        mask[b, :k] = True
 
     # baseline: M sequential DP(accumulate=M) calls on 2 data devices,
     # micro-batch m = global rows [m*D*mb, (m+1)*D*mb) sharded over data

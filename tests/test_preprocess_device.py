@@ -96,3 +96,25 @@ def test_serving_fn_int8_quantized(rng):
         iou = np.asarray(pairwise_iou_xyxy(jnp.asarray(ref_boxes),
                                            jnp.asarray(q_boxes)))
         assert float(np.median(iou.max(axis=1))) > 0.7
+
+
+def test_normalize_uint8_bf16_equals_f32_divide_for_all_codes():
+    """The serving ingress normalize (u8 -> compute dtype, divide in that
+    dtype) is BIT-IDENTICAL to f32 division followed by a bf16 cast for
+    every possible uint8 code — the equivalence serving/server.py and
+    bench.py rely on when normalizing straight to bf16 (one elementwise
+    pass, half the convert-fusion traffic, ROUND4_NOTES §7)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from yolov5m_tpu.ops.preprocess import normalize_uint8
+
+    u = jnp.arange(256, dtype=jnp.uint8)
+    fast = normalize_uint8(u, jnp.bfloat16)                  # bf16 divide
+    exact = (u.astype(jnp.float32) / 255.0).astype(jnp.bfloat16)
+    assert fast.dtype == jnp.bfloat16
+    assert np.array_equal(np.asarray(fast).view(np.uint16),
+                          np.asarray(exact).view(np.uint16))
+    # f32 path stays exact (uint8 -> f32 conversion is lossless)
+    f32 = normalize_uint8(u, jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(f32), np.arange(256, dtype=np.float32) / np.float32(255))

@@ -230,9 +230,11 @@ def _detect_dir(opt, model, variables, anchors_norm, cfg, labels):
 
     @jax.jit
     def infer(v, x):
-        # uint8 ingress, /255 on device: 1 byte/pixel host->device instead
-        # of 4 (exact — uint8->f32 then the same f32 division)
-        x = x.astype(jnp.float32) / 255.0
+        # uint8 ingress, normalize on device: 1 byte/pixel host->device
+        # instead of 4 (bit-identical for all 256 codes either dtype —
+        # ops/preprocess.py normalize_uint8)
+        from yolov5m_tpu.ops.preprocess import normalize_uint8
+        x = normalize_uint8(x, getattr(model, "dtype", None) or jnp.float32)
         preds = model.apply(v, x, train=False)
         return fused_detect(preds, anchors, conf_threshold=opt.conf,
                             iou_threshold=opt.iou,

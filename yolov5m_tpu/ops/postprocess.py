@@ -186,3 +186,28 @@ def fused_detect(
 
     return jax.vmap(functools.partial(_compact, max_detections=max_detections))(
         boxes, cls, conf, keep)
+
+
+def gate_density(preds, anchors_norm, conf_threshold: float = 0.25,
+                 iou_threshold: float = 0.45, max_detections: int = 300,
+                 pre_nms_topk: int = 1024, backend: str = "auto"):
+    """Per-image postprocess WORKLOAD statistics: (gate survivors,
+    final detections), each (bs,).
+
+    "Gate survivors" counts grid cells whose objectness logit clears the
+    serving confidence gate sigma(obj) > conf — i.e. how many candidates
+    the top-k/NMS stages actually process per image. This is the single
+    definition used by bench.py's detection_density record and the
+    trained-weights provenance sidecar (benchmarks/train_flagship_synth.py)
+    so the two can never drift apart.
+    """
+    thresh_logit = float(np.log(conf_threshold / (1.0 - conf_threshold)))
+    obj = jnp.concatenate(
+        [p[..., 4].reshape(p.shape[0], -1) for p in preds], axis=1)
+    survivors = (obj.astype(jnp.float32) > thresh_logit).sum(axis=1)
+    _, valid = fused_detect(preds, anchors_norm,
+                            conf_threshold=conf_threshold,
+                            iou_threshold=iou_threshold,
+                            max_detections=max_detections,
+                            pre_nms_topk=pre_nms_topk, backend=backend)
+    return survivors, valid.sum(axis=1)

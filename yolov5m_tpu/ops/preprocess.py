@@ -36,6 +36,23 @@ def letterbox_geometry(src_hw: Tuple[int, int], dst_hw: Tuple[int, int],
     return r, (dw, dh), (top, left), (uh, uw)
 
 
+def normalize_uint8(x: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """uint8 [0,255] → `dtype` [0,1], converting BEFORE dividing, in the
+    target dtype — the single ingress-normalize definition shared by the
+    serving runtime (serving/server.py), the TP serving path, and bench.py.
+
+    uint8 ingress halves/quarters the host→device bytes vs f32; doing the
+    divide in the COMPUTE dtype (bf16 for serving) also halves the on-device
+    convert-fusion traffic (measured +2.2% e2e, ROUND4_NOTES §7). Numerics:
+    every uint8 code is exact in bf16 (8 mantissa bits ≥ 8-bit integers),
+    and bf16(u)/bf16(255) == bf16(f32(u)/255) for ALL 256 codes (exhaustive
+    test, tests/test_preprocess_device.py) — so the fast bf16 path is
+    bit-identical to host-side f32 division followed by the model's own
+    input cast, and serving results do not depend on which side normalizes.
+    """
+    return x.astype(dtype) / jnp.asarray(255.0, dtype)
+
+
 def _bilinear_axis_tables(src: int, dst: int):
     """Half-pixel-center bilinear gather indices + weights (static numpy).
     INTER_LINEAR semantics, NO antialiasing — matches the host path

@@ -33,10 +33,14 @@ AD-correctness note (the dp.py:119 lesson, inverted): this module runs
 shard_map with check_vma=False, so every internal lax.psum would have a
 conservative psum transpose — on a replicated cotangent that inflates
 gradients by the mesh size. The differentiated path therefore crosses
-the shard_map boundary UN-reduced: each device returns its local loss
-contribution as a P(pipe)-sharded length-1 vector, and the sum happens
-OUTSIDE shard_map where AD is trivially exact. The only internal psums
-(BN-stat ownership merge, loss-part metrics) sit on the aux path, which
+the shard_map boundary UN-reduced: each device returns its local
+masked-mean NUMERATORS and DENOMINATORS per micro-batch (YoloLoss.
+num_den, (M, nl) per loss part), and the cross-device sum + the
+num/den division happen OUTSIDE shard_map where AD is trivially exact.
+Summing num and den separately before dividing is also what makes DPxPP
+exact: per-shard masked MEANS do not commute with summation when
+valid-box counts differ across data shards, num/den pairs do. The only
+internal psum (BN-stat ownership merge) sits on the aux path, which
 value_and_grad(has_aux=True) never differentiates.
 
 Skip connections (the P3/P4 taps consumed 9 and 4 modules later, the
@@ -405,10 +409,14 @@ def make_pp_train_step(model, loss_fn, optimizer, mesh: Mesh,
     m's global rows [m*D*mb, (m+1)*D*mb) sharded over "data", matching
     dp.shard_batch's layout), `microbatch` stays the PER-REPLICA size.
     Gradients sum over data replicas automatically (the AD transpose of
-    the replicated-param broadcast is a psum over every mesh axis), and
-    BN running stats are pmean-synced over "data" after the pipe
+    the replicated-param broadcast is a psum over every mesh axis), the
+    loss is the exact GLOBAL masked mean per micro-batch (numerators and
+    denominators summed across shards before dividing — see the module
+    AD note; correct even when shards hold different valid-box counts),
+    and BN running stats are pmean-synced over "data" after the pipe
     ownership merge — the exact semantics of dp.make_dp_train_step at
-    accumulate=M, which the equivalence test pins (tests/test_pp.py).
+    accumulate=M, which the equivalence test pins (tests/test_pp.py,
+    including an uneven-box-count case).
 
     Metrics: loss/parts are per-micro-batch MEANS of the global
     (data-summed) loss (the accumulate path reports the last
@@ -427,15 +435,16 @@ def make_pp_train_step(model, loss_fn, optimizer, mesh: Mesh,
         jax.ShapeDtypeStruct((1, *image_hw, 3), jnp.float32))
     plan = StagePlan(model, var_shapes, (mb, *image_hw, 3), S, cuts)
 
-    # loss-parts structure (zeros template for the non-final branches)
+    # loss numerator/denominator structure ({"box","obj","cls"}: (nl,),
+    # see YoloLoss.num_den) — zeros template for the non-final branches
     outs = [jnp.zeros(s.shape, s.dtype) for s in plan.out_shapes]
-    parts_struct = jax.eval_shape(
-        loss_fn, outs, jnp.zeros((mb, 1, 5), jnp.float32),
-        jnp.zeros((mb, 1), bool))[1]
+    nd_struct = jax.eval_shape(
+        loss_fn.num_den, outs, jnp.zeros((mb, 1, 5), jnp.float32),
+        jnp.zeros((mb, 1), bool))[0]
 
-    def zero_parts():
+    def zero_nd():
         return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
-                            parts_struct)
+                            nd_struct)
 
     def stage_branch(b, params, images, labels, mask):
         steps = [_STEPS[i] for i in plan.stage_steps[b]]
@@ -465,12 +474,17 @@ def make_pp_train_step(model, loss_fn, optimizer, mesh: Mesh,
                 lab = lax.dynamic_index_in_dim(labels, m_idx,
                                                keepdims=False)
                 msk = lax.dynamic_index_in_dim(mask, m_idx, keepdims=False)
-                total, parts = loss_fn(list(vals["out"]), lab, msk)
+                # raw masked-mean numerators/denominators of this (local
+                # shard of this) micro-batch — the division into means
+                # happens OUTSIDE shard_map, after the cross-device sum,
+                # so DPxPP gets the exact global masked mean even when
+                # valid-box counts differ across data shards
+                nums, dens = loss_fn.num_den(list(vals["out"]), lab, msk)
                 v = valid.astype(jnp.float32)
-                return (buf, new_stats, total.astype(jnp.float32) * v,
-                        jax.tree.map(lambda p: p * v, parts))
-            return (plan.pack(vals, b), new_stats,
-                    jnp.zeros((), jnp.float32), zero_parts())
+                return (buf, new_stats,
+                        jax.tree.map(lambda x: x * v, nums),
+                        jax.tree.map(lambda x: x * v, dens))
+            return (plan.pack(vals, b), new_stats, zero_nd(), zero_nd())
 
         return branch
 
@@ -485,23 +499,34 @@ def make_pp_train_step(model, loss_fn, optimizer, mesh: Mesh,
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P(), P(), batch_spec, batch_spec, batch_spec),
-        out_specs=(P(dev_axes), (P(dev_axes), P())), check_vma=False)
+        out_specs=((P(dev_axes), P(dev_axes)), P()), check_vma=False)
     def pp_loss_sm(params, stats, images, labels, mask):
         stage = lax.axis_index(pipe_axis)
         branches = [stage_branch(b, params, images, labels, mask)
                     for b in range(S)]
 
         def tick(carry, t):
-            buf, st, loss_acc, parts_acc = carry
+            buf, st, nums_acc, dens_acc = carry
             buf = lax.ppermute(buf, pipe_axis, perm)
-            buf, st, lc, pc = lax.switch(stage, branches, buf, t, st)
-            return (buf, st, loss_acc + lc,
-                    jax.tree.map(jnp.add, parts_acc, pc)), None
+            buf, st, num_t, den_t = lax.switch(stage, branches, buf, t, st)
+            # PER-MICRO-BATCH slots (not a running sum): the baseline
+            # computes each micro-batch's masked means on its own
+            # denominators, so num/den pairs must stay separable by m
+            m_idx = jnp.clip(t - (S - 1), 0, M - 1)
+            nums_acc = jax.tree.map(lambda a, u: a.at[m_idx].add(u),
+                                    nums_acc, num_t)
+            dens_acc = jax.tree.map(lambda a, u: a.at[m_idx].add(u),
+                                    dens_acc, den_t)
+            return (buf, st, nums_acc, dens_acc), None
+
+        def zero_md():
+            return jax.tree.map(
+                lambda s: jnp.zeros((M, *s.shape), s.dtype), nd_struct)
 
         init = (jnp.zeros((mb, plan.buf_len), plan.value_dtype),
-                _plain(stats), jnp.zeros((), jnp.float32), zero_parts())
-        (_, st, loss_acc, parts_acc), _ = lax.scan(tick, init,
-                                                   jnp.arange(T))
+                _plain(stats), zero_md(), zero_md())
+        (_, st, nums_acc, dens_acc), _ = lax.scan(tick, init,
+                                                  jnp.arange(T))
         # exact BN-stat merge: each module's stats from its owning stage
         # (every other device still holds that module's initial values)
         new_stats = {
@@ -516,8 +541,9 @@ def make_pp_train_step(model, loss_fn, optimizer, mesh: Mesh,
             # local-BN-stats semantics as dp.make_dp_train_step
             new_stats = jax.tree.map(
                 lambda x: lax.pmean(x, data_axis), new_stats)
-        return (loss_acc[None],
-                (jax.tree.map(lambda p: p[None], parts_acc), new_stats))
+        return (nums_acc, dens_acc), new_stats
+
+    n_dev = D * S
 
     def step(state, image, labels, mask):
         image = image.reshape(M, D * mb, *image.shape[1:])
@@ -525,9 +551,21 @@ def make_pp_train_step(model, loss_fn, optimizer, mesh: Mesh,
         mask = mask.reshape(M, D * mb, *mask.shape[1:])
 
         def loss_of(params):
-            losses, aux = pp_loss_sm(params, state.batch_stats, image,
-                                     labels, mask)
-            return losses.sum(), aux   # sum over stages OUTSIDE shard_map
+            # each (M, nl) num/den leaf leaves shard_map device-stacked as
+            # (n_dev*M, nl); summing over the device axis OUTSIDE shard_map
+            # (AD trivially exact, see module docstring) is simultaneously
+            # the stage merge (non-final stages contribute zeros) and the
+            # data-replica psum of numerators and denominators — then each
+            # micro-batch's GLOBAL masked means are composed on the global
+            # batch size D*mb, exactly like one dp.make_dp_train_step call
+            (nums, dens), new_stats = pp_loss_sm(
+                params, state.batch_stats, image, labels, mask)
+            nums, dens = jax.tree.map(
+                lambda x: x.reshape(n_dev, M, *x.shape[1:]).sum(0),
+                (nums, dens))
+            totals, parts = jax.vmap(
+                lambda n, d: loss_fn.compose(n, d, D * mb))(nums, dens)
+            return totals.sum(), (parts, new_stats)
 
         (total, (parts, new_stats)), grads = \
             jax.value_and_grad(loss_of, has_aux=True)(state.params)

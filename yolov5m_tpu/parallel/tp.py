@@ -138,7 +138,9 @@ def make_tp_infer_fn(model, variables, anchors_norm, mesh: Mesh,
                        out_shardings=(out_sharding, out_sharding))
     def tp_infer(images):
         if uint8_ingress:
-            images = images.astype(jnp.float32) / 255.0
+            from yolov5m_tpu.ops.preprocess import normalize_uint8
+            images = normalize_uint8(
+                images, getattr(model, "dtype", None) or jnp.float32)
         preds = model.apply(variables, images, train=False)
         # leave the channel-sharded regime before the global postprocess
         preds = [jax.lax.with_sharding_constraint(p, out_sharding)

