@@ -69,7 +69,7 @@ import jax.numpy as jnp
 from yolov5m_tpu.config import Config
 from yolov5m_tpu.data.synthetic import synth_batch
 from yolov5m_tpu.models import YOLOv5
-from yolov5m_tpu.models.fuse import fold_batchnorm
+from yolov5m_tpu.models.fuse import fold_batchnorm, fold_batchnorm_device
 from yolov5m_tpu.models.yolo import normalized_anchors
 from yolov5m_tpu.ops.nms import resolve_backend
 from yolov5m_tpu.ops.postprocess import fused_detect, gate_density
@@ -89,10 +89,119 @@ def _log(msg: str) -> None:
 
     Setup over the relay can cost minutes (4 big pipeline compiles + input
     generation); without a heartbeat a driver-side timeout is
-    indistinguishable from a hang."""
+    indistinguishable from a hang. Every log line also becomes the
+    current `phase` in the partial-JSON safety net below."""
     import sys
+    _PROGRESS["phase"] = msg
     print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr,
           flush=True)
+
+
+# ---------------------------------------------------------------------------
+# Partial-capture safety net (round-4 postmortem: BENCH_r04.json was
+# `parsed: null` because the driver's timeout killed the process before the
+# single JSON line was printed). Two independent guards ensure SOME JSON
+# always reaches stdout:
+#   * a watchdog thread emits at BENCH_WALL_SECONDS (default 1680s, under
+#     the driver's observed ~30-min cap) — threads keep running while the
+#     main thread is blocked inside a C++ device wait, which is exactly
+#     when a SIGTERM python handler would be delayed;
+#   * a SIGTERM handler emits if the driver kills us first.
+# Both print the median of whatever headline rounds exist (value=null if
+# none), tag status="partial", and append a forensic ledger entry — so an
+# aborted run is still a (degraded) record instead of nothing.
+# ---------------------------------------------------------------------------
+import threading as _threading
+
+_PROGRESS = {"phase": "import", "headline": None, "per_arm": None,
+             "done": False, "budget_s": None}
+_EMIT_LOCK = _threading.Lock()
+
+
+def _ledger_append(entry: dict) -> None:
+    """Append-only forensic record of every run on real hardware —
+    including aborted ones (round-4 review Missing #3)."""
+    try:
+        if jax.devices()[0].platform == "cpu":
+            return
+        with open(os.path.join(_HERE, "BENCH_OBSERVATIONS.jsonl"), "a") as f:
+            f.write(json.dumps(entry) + "\n")
+    except Exception:
+        pass
+
+
+def _emit_partial(reason: str) -> None:
+    import statistics as _st
+    with _EMIT_LOCK:
+        if _PROGRESS["done"]:
+            return
+        _PROGRESS["done"] = True
+    per_arm = _PROGRESS.get("per_arm") or {}
+    hl = _PROGRESS.get("headline")
+    rounds = list(per_arm.get(hl) or ())
+    value = round(_st.median(rounds), 2) if rounds else None
+    out = {
+        "metric": "640x640 images/sec/chip incl. NMS "
+                  "(PARTIAL capture: %s)" % reason,
+        "value": value,
+        "unit": "images/sec/chip",
+        "vs_baseline": (round(value / A100_TARGET_IMG_S, 3)
+                        if value else None),
+        "status": "partial",
+        "partial_reason": reason,
+        "phase_reached": _PROGRESS["phase"],
+        "elapsed_s": round(time.time() - _T0, 1),
+        "rounds_measured": len(rounds),
+        "per_arm_median": {k: round(_st.median(v), 2)
+                           for k, v in per_arm.items() if v},
+        "note": "run cut short before the full protocol completed; value "
+                "is the median of headline rounds measured so far (null if "
+                "none). Protocol + healthy-chip record: "
+                "BENCH_OBSERVATIONS.jsonl.",
+    }
+    _ledger_append({
+        "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "status": "partial:" + reason,
+        "value": value,
+        "vs_baseline": out["vs_baseline"],
+        "rounds": len(rounds),
+        "budget_s": _PROGRESS.get("budget_s"),
+        "phase_reached": _PROGRESS["phase"],
+        "elapsed_s": out["elapsed_s"],
+        "per_arm_median": out["per_arm_median"],
+    })
+    print(json.dumps(out), flush=True)
+
+
+def _arm_safety_net() -> None:
+    import signal
+    budget = float(os.environ.get("BENCH_WALL_SECONDS", "1680"))
+
+    def watchdog():
+        while not _PROGRESS["done"]:
+            left = _T0 + budget - time.time()
+            if left <= 0:
+                phase = _PROGRESS["phase"]   # keep the REAL last phase
+                _log(f"WALL BUDGET {budget:.0f}s reached: emitting partial "
+                     "JSON and exiting")
+                _PROGRESS["phase"] = phase
+                _emit_partial("wall_budget")
+                os._exit(0)
+            time.sleep(min(left, 5.0))
+
+    _threading.Thread(target=watchdog, daemon=True).start()
+
+    def on_sigterm(signum, frame):
+        phase = _PROGRESS["phase"]           # keep the REAL last phase
+        _log("SIGTERM: emitting partial JSON and exiting")
+        _PROGRESS["phase"] = phase
+        _emit_partial("sigterm")
+        os._exit(0)
+
+    try:
+        signal.signal(signal.SIGTERM, on_sigterm)
+    except ValueError:
+        pass  # not the main thread (imported use) — watchdog still covers
 
 
 def run_matmul_probe() -> dict:
@@ -129,14 +238,26 @@ def main(batch_size: int = 128, warmup_rounds: int = 2) -> None:
     # skip the multi-minute remote compile of the full pipeline
     from yolov5m_tpu.utils.misc import enable_compile_cache
     enable_compile_cache(os.path.join(_HERE, ".jax_cache"))
+    _arm_safety_net()
 
     cfg = Config()
     _log(f"start: platform={jax.devices()[0].platform}")
     base = YOLOv5(first_out=cfg.first_out, nc=cfg.nc, dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
-    variables = fold_batchnorm(
-        base.init(rng, jnp.zeros((1, 640, 640, 3), jnp.float32)))
-    _log("model init + BN fold done")
+
+    # Init + BN-fold as ONE jitted program (round-4 postmortem: eager
+    # flax init is hundreds of per-op relay dispatches and host-numpy
+    # fold_batchnorm fetches every leaf — in a degraded ~25ms/dispatch
+    # window that setup ate 1734s of the official 30-min budget,
+    # BENCH_r04.json rc=124). One dispatch + one cached compile instead.
+    @jax.jit
+    def _init_fold(rng):
+        v = base.init(rng, jnp.zeros((1, 640, 640, 3), jnp.float32))
+        return fold_batchnorm_device(v)
+
+    variables = _init_fold(rng)
+    jax.block_until_ready(variables)
+    _log("model init + BN fold done (one jitted program)")
     model = YOLOv5(first_out=cfg.first_out, nc=cfg.nc, dtype=jnp.bfloat16,
                    fused=True)
     anchors = jnp.asarray(normalized_anchors())
@@ -275,6 +396,9 @@ def main(batch_size: int = 128, warmup_rounds: int = 2) -> None:
     max_rounds = int(os.environ.get("BENCH_MAX_ROUNDS", "2000"))
     deadline = time.time() + max_seconds
     per_arm = {name: [] for name in cells}   # img/s per measured round
+    # live references for the partial-capture safety net
+    _PROGRESS.update(per_arm=per_arm, headline=headline,
+                     budget_s=int(max_seconds))
     k = 0
     n_round = 0
     while n_round < warmup_rounds + max_rounds:
@@ -369,6 +493,7 @@ def main(batch_size: int = 128, warmup_rounds: int = 2) -> None:
         "value": round(img_s, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_s / A100_TARGET_IMG_S, 3),
+        "status": "ok",
         "load": load_desc,
         "protocol": "median round of the headline cell (default backend, "
                     "%s) over a fixed %ds budget, %d-round untimed warmup, "
@@ -414,28 +539,29 @@ def main(batch_size: int = 128, warmup_rounds: int = 2) -> None:
                 "ROUND2_NOTES.md forensics + BENCH_OBSERVATIONS.jsonl.",
     }
 
-    # Observation ledger: append-only forensic record of every run of this
-    # script on real hardware (committed periodically for provenance).
-    ledger = os.path.join(_HERE, "BENCH_OBSERVATIONS.jsonl")
-    if jax.devices()[0].platform != "cpu":
-        try:
-            with open(ledger, "a") as f:
-                f.write(json.dumps({
-                    "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-                    "value": out["value"],
-                    "vs_baseline": out["vs_baseline"],
-                    "max_round": out["max_round"],
-                    "rounds": out["rounds_measured"],
-                    "budget_s": int(max_seconds),
-                    "lane": out["relay_lane_observed"],
-                    "single_program_lane_tflops":
-                        out["single_program_lane_tflops"],
-                    "per_arm_median": out["per_arm_median"],
-                }) + "\n")
-        except OSError:
-            pass
+    # Single-emission guard: if the watchdog/SIGTERM already printed a
+    # partial record, do NOT print a second JSON line.
+    with _EMIT_LOCK:
+        if _PROGRESS["done"]:
+            return
+        _PROGRESS["done"] = True
 
-    print(json.dumps(out))
+    # Observation ledger: append-only forensic record of every run of this
+    # script on real hardware — successes AND (via _emit_partial) aborts.
+    _ledger_append({
+        "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "status": "ok",
+        "value": out["value"],
+        "vs_baseline": out["vs_baseline"],
+        "max_round": out["max_round"],
+        "rounds": out["rounds_measured"],
+        "budget_s": int(max_seconds),
+        "lane": out["relay_lane_observed"],
+        "single_program_lane_tflops": out["single_program_lane_tflops"],
+        "per_arm_median": out["per_arm_median"],
+    })
+
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

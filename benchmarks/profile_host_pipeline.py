@@ -83,9 +83,19 @@ def main():
         # it out with a measured copy cost so t_aug is the augment alone.
         t_f32 = bench_stage(lambda: boxed.astype(np.float32))
         t_copy = bench_stage(lambda: f32.copy())
-        t_aug = bench_stage(lambda: aug(f32.copy(), labels, 0)) - t_copy
-        t_aug_dev = bench_stage(
+        # clamp netted stage times at 0: when the residual augment costs
+        # less than (or about) the copy itself, the subtraction goes
+        # negative/noisy — report 0 and say the clamp fired
+        t_aug_raw = bench_stage(lambda: aug(f32.copy(), labels, 0)) - t_copy
+        t_aug_dev_raw = bench_stage(
             lambda: aug_dev(f32.copy(), labels, 0)) - t_copy
+        clamped = [n for n, t in (("augment", t_aug_raw),
+                                  ("augment-dev", t_aug_dev_raw)) if t < 0]
+        t_aug = max(0.0, t_aug_raw)
+        t_aug_dev = max(0.0, t_aug_dev_raw)
+        if clamped:
+            print(f"  [note] netted stage(s) {clamped} measured below the "
+                  "f32-copy cost; clamped to 0 (below measurement noise)")
         pad = lambda: np.concatenate(
             [labels, np.zeros((8 - len(labels), 5), np.float32)])
         t_pad = bench_stage(pad)

@@ -150,12 +150,19 @@ def test_pp_train_step_matches_sequential_accumulate(rng):
         for x, y in zip(fa, fb):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                        atol=1e-5, rtol=1e-5)
-    # Adam moments: same op order, tight match
+    # Adam moments store RAW per-step gradients, where XLA codegen
+    # differences between the scanned pipeline program and the two plain
+    # jitted reference calls surface as f32 reduction-order noise through
+    # the BN-statistics backward (repo noise model: tests/test_sp_train.py
+    # module docstring; this exact fragility at atol=1e-6 was flagged
+    # portable-red by the round-4 review). Compare at the noise scale:
+    # moments are O(grad); bound the absolute delta well below any real
+    # semantic divergence but above cross-host codegen jitter.
     ma = jax.tree.leaves(jax.device_get(pp_state.opt_state))
     mr = jax.tree.leaves(jax.device_get(ref_state.opt_state))
     for x, y in zip(ma, mr):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
-                                   atol=1e-6, rtol=1e-5)
+                                   atol=1e-4, rtol=1e-3)
     assert np.isfinite(float(pp_metrics["loss"]))
 
 
@@ -170,7 +177,22 @@ def test_dp_pp_train_matches_dp_accumulate(rng):
     per-shard masked-mean losses do not commute with the cross-replica sum
     when counts differ, so this pins that DPxPP composes the global
     numerator/denominator sums (the exact DP semantics), not a sum of
-    local means."""
+    local means.
+
+    Tolerances: the DPxPP program and the DP baseline are DIFFERENT
+    compiled programs on different meshes, so f32 reduction-order noise
+    through the BN-statistics backward perturbs raw gradients, and Adam's
+    g/(sqrt(v)+eps) normalization turns a near-zero-grad sign flip into a
+    +-lr param delta (repo noise model: tests/test_sp_train.py docstring;
+    round-4 review measured 1/32768 elements at 1.9e-5 on a different
+    host at the old atol=1e-5). Params/EMA/BN are therefore bounded at
+    the documented +-2*lr scale (atol 2.1e-3, same as the SP/DP tests);
+    raw Adam moments are NOT element-compared (CLAUDE.md session-4 rule)
+    — their scale is pinned by a norm check. Semantic exactness of the
+    composition is pinned elsewhere: pure num/den compose bit-exactly in
+    test_loss.py, the staged forward is bit-exact in
+    test_program_matches_monolithic_forward, and SP's f64 proof covers
+    the BN-backward noise mechanism."""
     from yolov5m_tpu.parallel import (make_dp_pp_mesh, make_dp_train_step,
                                       make_mesh, replicate_state,
                                       shard_batch)
@@ -226,12 +248,16 @@ def test_dp_pp_train_matches_dp_accumulate(rng):
         assert len(fa) == len(fb)
         for x, y in zip(fa, fb):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y),
-                                       atol=1e-5, rtol=1e-5)
+                                       atol=2.1e-3, rtol=1e-4)
+    # Adam moments: scale check only (see docstring — raw moments carry
+    # reduction-order noise; element compare is not host-portable)
     ma = jax.tree.leaves(jax.device_get(pp_state.opt_state))
     mr = jax.tree.leaves(jax.device_get(ref_state.opt_state))
+    assert len(ma) == len(mr)
     for x, y in zip(ma, mr):
-        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
-                                   atol=1e-6, rtol=1e-5)
+        nx = float(np.linalg.norm(np.asarray(x, np.float64).ravel()))
+        ny = float(np.linalg.norm(np.asarray(y, np.float64).ravel()))
+        np.testing.assert_allclose(nx, ny, rtol=1e-3, atol=1e-6)
     assert np.isfinite(float(pp_metrics["loss"]))
 
 

@@ -190,7 +190,8 @@ def fused_detect(
 
 def gate_density(preds, anchors_norm, conf_threshold: float = 0.25,
                  iou_threshold: float = 0.45, max_detections: int = 300,
-                 pre_nms_topk: int = 1024, backend: str = "auto"):
+                 pre_nms_topk: int = 1024, backend: str = "auto",
+                 strides: Tuple[int, ...] = (8, 16, 32)):
     """Per-image postprocess WORKLOAD statistics: (gate survivors,
     final detections), each (bs,).
 
@@ -205,7 +206,7 @@ def gate_density(preds, anchors_norm, conf_threshold: float = 0.25,
     obj = jnp.concatenate(
         [p[..., 4].reshape(p.shape[0], -1) for p in preds], axis=1)
     survivors = (obj.astype(jnp.float32) > thresh_logit).sum(axis=1)
-    _, valid = fused_detect(preds, anchors_norm,
+    _, valid = fused_detect(preds, anchors_norm, strides=strides,
                             conf_threshold=conf_threshold,
                             iou_threshold=iou_threshold,
                             max_detections=max_detections,
