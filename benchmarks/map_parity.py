@@ -180,7 +180,17 @@ def main():
     ap.add_argument("--hw", type=int, default=640)
     ap.add_argument("--conf", type=float, default=0.01)
     ap.add_argument("--iou", type=float, default=0.6)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the JAX side onto CPU (the torch reference "
+                         "forward dominates wall time anyway); frees the "
+                         "TPU for concurrent work. Env vars alone cannot "
+                         "override the axon plugin (CLAUDE.md), hence a "
+                         "config flag.")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     result = run_parity(n_images=args.images, bs=args.bs, hw=args.hw,
                         conf=args.conf, iou=args.iou)

@@ -142,14 +142,22 @@ def arg_parser():
                    help="directory for COCO-format eval dumps "
                         "(annotations.json + results.json) so the metrics "
                         "can be re-scored externally with pycocotools")
+    p.add_argument("--synth_steps", type=int, default=50,
+                   help="--data synth: train batches per epoch (generated "
+                        "on device, data/synthetic.py)")
+    p.add_argument("--synth_val_batches", type=int, default=8,
+                   help="--data synth: fixed eval-set size in batches")
     return p.parse_args()
 
 
 def resolve_dataset(opt):
     """nc/labels from datasets/{data}/data.yaml, falling back to config
-    (reference train.py:43-53)."""
+    (reference train.py:43-53). `--data synth` has no disk root: the
+    loaders are on-device generators (data/synthetic.py SyntheticLoader)."""
     from yolov5m_tpu.config import COCO_LABELS
 
+    if opt.data == "synth":
+        return None, len(COCO_LABELS), list(COCO_LABELS)
     if opt.datasets_dir:
         root = os.path.join(opt.datasets_dir, opt.data)
     else:
@@ -231,6 +239,9 @@ def main(opt):
     model = YOLOv5(first_out=cfg.first_out, nc=cfg.nc, dtype=jnp.bfloat16,
                    depth_mult=fam_dm, remat=remat)
     anchors_px = np.asarray(ANCHORS, np.float32)
+    if getattr(opt, "autoanchor", False) and opt.data == "synth":
+        raise SystemExit("--autoanchor needs a disk dataset to measure "
+                         "box statistics; not supported with --data synth")
     if getattr(opt, "autoanchor", False):
         from yolov5m_tpu.data.autoanchor import check_and_fit
         from yolov5m_tpu.data.dataset import DetectionDataset
@@ -263,13 +274,28 @@ def main(opt):
         print(f"==> multi-scale buckets: {ms_sizes}")
     device_mosaic = getattr(opt, "device_mosaic", False)
     device_augment = getattr(opt, "device_augment", False)
-    train_loader, val_loader = get_loaders(
-        root, opt.bs, rect_training=opt.rect, box_format=opt.box_format,
-        max_boxes=opt.max_boxes, default_size=opt.image_size,
-        multi_scale_sizes=ms_sizes, num_workers=opt.nw,
-        mosaic_p=0.0 if device_mosaic else getattr(opt, "mosaic", 0.0),
-        hsv=getattr(opt, "hsv", False) and not device_augment,
-        device_augment=device_augment)
+    if opt.data == "synth":
+        # on-device structured synthetic stream: the full orchestration
+        # (epoch loop -> eval -> checkpoint -> resume) with zero host I/O.
+        # Device mosaic/augment compose on top like any other batch.
+        from yolov5m_tpu.data.synthetic import SyntheticLoader
+        train_loader = SyntheticLoader(
+            opt.bs, steps=getattr(opt, "synth_steps", 50),
+            image_size=opt.image_size, nc=nc,
+            multi_scale_sizes=ms_sizes, train=True)
+        val_loader = SyntheticLoader(
+            opt.bs, steps=getattr(opt, "synth_val_batches", 8),
+            image_size=opt.image_size, nc=nc, train=False)
+        print(f"==> synthetic on-device data: {len(train_loader)} "
+              f"train batches/epoch, {len(val_loader)} fixed eval batches")
+    else:
+        train_loader, val_loader = get_loaders(
+            root, opt.bs, rect_training=opt.rect, box_format=opt.box_format,
+            max_boxes=opt.max_boxes, default_size=opt.image_size,
+            multi_scale_sizes=ms_sizes, num_workers=opt.nw,
+            mosaic_p=0.0 if device_mosaic else getattr(opt, "mosaic", 0.0),
+            hsv=getattr(opt, "hsv", False) and not device_augment,
+            device_augment=device_augment)
 
     # run naming + resume epoch resolved BEFORE the optimizer: the restored
     # schedule count is (last * opt_steps_per_epoch), so a cosine horizon

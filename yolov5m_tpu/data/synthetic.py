@@ -86,3 +86,72 @@ def synth_batch(key, bs: int, hw: int, nc: int, max_boxes: int = 8,
         [cls[..., None].astype(jnp.float32), cxy, wh], axis=-1)
     labels = labels * mask[..., None]
     return img, labels, mask
+
+
+class SyntheticLoader:
+    """BatchLoader-shaped iterable over on-device synthetic batches.
+
+    Drop-in for data/loaders.py BatchLoader in the train CLI and the
+    Evaluator (`--data synth`): yields ``{"image", "labels", "mask"}``
+    dicts, supports ``len()`` and ``set_epoch()``. Exists so the FULL
+    training orchestration (epoch loop → eval → async checkpoint →
+    resume) can run end-to-end in environments with no image dataset on
+    disk — the whole batch is generated inside one jitted program per
+    image size, so a flagship run feeds the chip with zero host I/O.
+
+    train=True: batches differ every (epoch, step); multi-scale sizes
+    cycle deterministically per step like the disk loader's buckets.
+    train=False: a FIXED eval set — keys depend only on the step index,
+    so epoch-over-epoch mAP is comparable and resume-reproducible.
+
+    Reference analog: the reference has no such mode (its loaders are
+    disk-only, reference dataset.py:19-209); this is TPU-first
+    infrastructure, same spirit as its use in bench.py.
+    """
+
+    def __init__(self, batch_size: int, steps: int, image_size: int = 640,
+                 nc: int = 80, max_boxes: int = 8, seed: int = 0,
+                 train: bool = True, multi_scale_sizes=None):
+        self.bs = batch_size
+        self.steps = steps
+        self.nc = nc
+        self.max_boxes = max_boxes
+        self.seed = seed
+        self.train = train
+        self.sizes = sorted(multi_scale_sizes) if multi_scale_sizes \
+            else [image_size]
+        self._epoch = 0
+        self._gen = {}            # size -> jitted generator
+
+    def __len__(self) -> int:
+        return self.steps
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = int(epoch)
+
+    def _generator(self, size: int):
+        fn = self._gen.get(size)
+        if fn is None:
+            fn = jax.jit(lambda k: synth_batch(
+                k, self.bs, size, self.nc, max_boxes=self.max_boxes))
+            self._gen[size] = fn
+        return fn
+
+    def __iter__(self):
+        base = jax.random.PRNGKey(self.seed + (0 if self.train else 10_000))
+        for i in range(self.steps):
+            # fixed eval set: val keys ignore the epoch
+            key = jax.random.fold_in(
+                base, (self._epoch * 1_000_003 + i) if self.train else i)
+            # deterministic per-step size cycle (largest size on step 0 so
+            # the first compile is also the peak-memory one, like the disk
+            # loader's descending-area rect planner)
+            size = self.sizes[(-1 - i) % len(self.sizes)] if self.train \
+                else self.sizes[-1]
+            img, labels, mask = self._generator(size)(key)
+            # image stays device-resident (the expensive tensor was the
+            # point of on-device generation); labels/mask come back as
+            # numpy — one tiny fetch per batch — because the evaluator's
+            # host matcher and the plotting path index them per image
+            labels, mask = jax.device_get((labels, mask))
+            yield {"image": img, "labels": labels, "mask": mask}
