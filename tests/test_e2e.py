@@ -230,3 +230,28 @@ def test_train_cli_device_augment(dataset_root, tmp_path, monkeypatch):
     opt.device_augment = True
     monkeypatch.chdir(tmp_path)
     main(opt)
+
+
+def test_train_cli_synth_data_cycle(tmp_path, monkeypatch):
+    """--data synth: the full orchestration (epoch -> eval -> checkpoint ->
+    --resume -> eval) over the on-device SyntheticLoader stream — no
+    dataset on disk at all. The flagship-scale run of this exact path is
+    logged in logs/flagship_cycle/; this pins the wiring in the suite."""
+    from yolov5m_tpu.cli.train import main
+
+    monkeypatch.chdir(tmp_path)
+    kw = dict(data="synth", synth_steps=2, synth_val_batches=1,
+              image_size=64, bs=2, first_out=8, max_boxes=8,
+              filename="model_1")
+    main(_opt(None, **kw))
+
+    ckpt = tmp_path / "SAVED_CHECKPOINT" / "model_1" / "checkpoint_epoch_1.msgpack"
+    assert ckpt.is_file()
+    eval_csv = (tmp_path / "train_eval_metrics" / "model_1" / "eval.csv").read_text()
+    assert len(eval_csv.strip().splitlines()) == 2
+
+    main(_opt(None, resume=True, **kw))
+    assert (tmp_path / "SAVED_CHECKPOINT" / "model_1"
+            / "checkpoint_epoch_2.msgpack").is_file()
+    eval_csv = (tmp_path / "train_eval_metrics" / "model_1" / "eval.csv").read_text()
+    assert len(eval_csv.strip().splitlines()) == 3

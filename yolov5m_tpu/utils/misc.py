@@ -37,9 +37,13 @@ def enable_compile_cache(cache_dir: Optional[str] = None) -> None:
     cache bench.py and the test suite warm)."""
     import jax
     if cache_dir is None:
-        cache_dir = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__)))), ".jax_cache")
+        # explicit env override wins (lets a driver/CI point every entry
+        # point at its own cache, and lets cold-compile measurements use
+        # an empty dir without touching the repo cache)
+        cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR") \
+            or os.path.join(
+                os.path.dirname(os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__)))), ".jax_cache")
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
