@@ -20,7 +20,10 @@ import numpy as np
 def arg_parser():
     p = argparse.ArgumentParser()
     # reference flags (train.py:16-33)
-    p.add_argument("--data", type=str, default="coco", help="dataset name under datasets/")
+    p.add_argument("--data", type=str, default="coco",
+                   help="dataset name under datasets/, or 'synth' for the "
+                        "on-device structured synthetic stream (no disk "
+                        "I/O; see --synth_steps/--synth_val_batches)")
     p.add_argument("--box_format", type=str, default="coco", choices=["coco", "yolo"])
     p.add_argument("--nosaveimgs", action="store_true")
     p.add_argument("--nosavemodel", action="store_true")
