@@ -69,7 +69,7 @@ import jax.numpy as jnp
 from yolov5m_tpu.config import Config
 from yolov5m_tpu.data.synthetic import synth_batch
 from yolov5m_tpu.models import YOLOv5
-from yolov5m_tpu.models.fuse import fold_batchnorm, fold_batchnorm_device
+from yolov5m_tpu.models.fuse import fold_batchnorm_device
 from yolov5m_tpu.models.yolo import normalized_anchors
 from yolov5m_tpu.ops.nms import resolve_backend
 from yolov5m_tpu.ops.postprocess import fused_detect, gate_density
@@ -80,7 +80,6 @@ from yolov5m_tpu.ops.preprocess import normalize_uint8
 # vs_baseline denominator".
 A100_TARGET_IMG_S = 600.0
 _HERE = os.path.dirname(os.path.abspath(__file__))
-WEIGHTS_PATH = os.path.join(_HERE, "weights", "flagship_synth_bf16.msgpack")
 _T0 = time.time()
 
 
@@ -114,8 +113,11 @@ def _log(msg: str) -> None:
 import threading as _threading
 
 _PROGRESS = {"phase": "import", "headline": None, "per_arm": None,
-             "done": False, "budget_s": None}
-_EMIT_LOCK = _threading.Lock()
+             "done": False, "budget_s": None, "wall_budget_s": None}
+# RLock: a SIGTERM handler runs IN the main thread — with a plain Lock a
+# signal landing while the main thread holds the final-emission guard
+# would deadlock the handler on its own thread's lock.
+_EMIT_LOCK = _threading.RLock()
 
 
 def _ledger_append(entry: dict) -> None:
@@ -166,6 +168,8 @@ def _emit_partial(reason: str) -> None:
         "vs_baseline": out["vs_baseline"],
         "rounds": len(rounds),
         "budget_s": _PROGRESS.get("budget_s"),
+        # which limit actually fired: reason names it, this records its size
+        "wall_budget_s": _PROGRESS.get("wall_budget_s"),
         "phase_reached": _PROGRESS["phase"],
         "elapsed_s": out["elapsed_s"],
         "per_arm_median": out["per_arm_median"],
@@ -176,6 +180,7 @@ def _emit_partial(reason: str) -> None:
 def _arm_safety_net() -> None:
     import signal
     budget = float(os.environ.get("BENCH_WALL_SECONDS", "1680"))
+    _PROGRESS["wall_budget_s"] = int(budget)
 
     def watchdog():
         while not _PROGRESS["done"]:
@@ -192,9 +197,13 @@ def _arm_safety_net() -> None:
     _threading.Thread(target=watchdog, daemon=True).start()
 
     def on_sigterm(signum, frame):
-        phase = _PROGRESS["phase"]           # keep the REAL last phase
-        _log("SIGTERM: emitting partial JSON and exiting")
-        _PROGRESS["phase"] = phase
+        # Runs IN the main thread, possibly interrupting an in-progress
+        # print: no print()/logging here (a reentrant call into the same
+        # BufferedWriter raises and would kill the handler before the JSON
+        # goes out — the exact failure this net exists to prevent).
+        # os.write to stderr is signal-safe; _EMIT_LOCK is an RLock so an
+        # interrupt inside the final-emission guard cannot self-deadlock.
+        os.write(2, b"[bench] SIGTERM: emitting partial JSON and exiting\n")
         _emit_partial("sigterm")
         os._exit(0)
 
@@ -235,9 +244,12 @@ def run_matmul_probe() -> dict:
 
 def main(batch_size: int = 128, warmup_rounds: int = 2) -> None:
     # persistent compile cache: repeated bench runs (the driver's included)
-    # skip the multi-minute remote compile of the full pipeline
+    # skip the multi-minute remote compile of the full pipeline. No explicit
+    # dir: enable_compile_cache defaults to the repo .jax_cache but honors a
+    # JAX_COMPILATION_CACHE_DIR override (so cold-compile measurements can
+    # point this entry point at an empty dir).
     from yolov5m_tpu.utils.misc import enable_compile_cache
-    enable_compile_cache(os.path.join(_HERE, ".jax_cache"))
+    enable_compile_cache()
     _arm_safety_net()
 
     cfg = Config()
@@ -270,19 +282,8 @@ def main(batch_size: int = 128, warmup_rounds: int = 2) -> None:
     # is kept as the A/B continuity record. Variables are passed as jit
     # ARGUMENTS, so both loads share the identical compiled program —
     # the A/B differs only in data.
-    trained_vars = None
-    weights_meta = None
-    if os.path.isfile(WEIGHTS_PATH):
-        import numpy as _np
-        from flax import serialization as _ser
-        with open(WEIGHTS_PATH, "rb") as f:
-            raw = _ser.msgpack_restore(f.read())
-        raw = jax.tree.map(lambda x: _np.asarray(x, _np.float32), raw)
-        trained_vars = fold_batchnorm(raw)
-        sidecar = WEIGHTS_PATH.replace(".msgpack", ".json")
-        if os.path.isfile(sidecar):
-            with open(sidecar) as f:
-                weights_meta = json.load(f)
+    from yolov5m_tpu.models.weights import load_flagship
+    trained_vars, weights_meta = load_flagship(fold=True, missing_ok=True)
 
     # Each arm scans CHAIN_LEN distinct batches inside ONE jit: host→device
     # dispatch over this relay costs ~4.1ms per call regardless of payload

@@ -51,12 +51,8 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 
 def load_flagship_variables():
     """Committed flagship weights as f32 flax variables (unfused)."""
-    from flax import serialization
-    path = os.path.join(REPO, "weights", "flagship_synth_bf16.msgpack")
-    with open(path, "rb") as f:
-        raw = serialization.msgpack_restore(f.read())
-    import jax
-    return jax.tree.map(lambda x: np.asarray(x, np.float32), raw)
+    from yolov5m_tpu.models.weights import load_flagship
+    return load_flagship(fold=False)[0]
 
 
 def build_reference_model(variables, first_out, nc):

@@ -48,13 +48,10 @@ from yolov5m_tpu.ops.preprocess import make_serving_fn
 
 def load_variables(cfg):
     """Flagship trained weights when present (BN-folded), else random."""
-    path = os.path.join(_HERE, "weights", "flagship_synth_bf16.msgpack")
-    if os.path.isfile(path):
-        from flax import serialization
-        with open(path, "rb") as f:
-            raw = serialization.msgpack_restore(f.read())
-        raw = jax.tree.map(lambda x: np.asarray(x, np.float32), raw)
-        return fold_batchnorm(raw), "trained(flagship_synth)"
+    from yolov5m_tpu.models.weights import load_flagship
+    variables, _ = load_flagship(fold=True, missing_ok=True)
+    if variables is not None:
+        return variables, "trained(flagship_synth)"
     base = YOLOv5(first_out=cfg.first_out, nc=cfg.nc, dtype=jnp.bfloat16)
     return fold_batchnorm(
         base.init(jax.random.PRNGKey(0), jnp.zeros((1, 640, 640, 3)))), \

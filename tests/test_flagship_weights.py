@@ -2,8 +2,8 @@
 
 weights/flagship_synth_bf16.msgpack backs bench.py's realistic-load
 headline (the trained arm). bench.py degrades SILENTLY to the noise
-protocol if the blob is missing or unloadable (bench.py WEIGHTS_PATH
-gate), so nothing else would notice a rotten/replaced file. This test
+protocol if the blob is missing or unloadable (load_flagship's
+missing_ok gate), so nothing else would notice a rotten/replaced file. This test
 keeps the headline's realism claim attached to the actual bytes
 (round-4 review Weak #5 / Next #5):
 
@@ -54,19 +54,18 @@ def test_blob_matches_sidecar_hash(sidecar):
 
 
 def test_weights_load_and_detect_in_density_band(sidecar):
-    from flax import serialization
-
     from yolov5m_tpu.config import Config
     from yolov5m_tpu.data.synthetic import synth_batch
     from yolov5m_tpu.models import YOLOv5
-    from yolov5m_tpu.models.fuse import fold_batchnorm
+    from yolov5m_tpu.models.weights import FLAGSHIP_WEIGHTS, load_flagship
     from yolov5m_tpu.models.yolo import normalized_anchors
     from yolov5m_tpu.ops.postprocess import fused_detect
 
-    with open(BLOB, "rb") as f:
-        raw = serialization.msgpack_restore(f.read())
-    raw = jax.tree.map(lambda x: np.asarray(x, np.float32), raw)
-    variables = fold_batchnorm(raw)
+    # the shared loader every harness (bench.py, map_parity, latency) uses
+    # must point at the same bytes this test hash-pins
+    assert os.path.abspath(FLAGSHIP_WEIGHTS) == os.path.abspath(BLOB)
+    variables, meta = load_flagship(fold=True)
+    assert meta is not None and "sha256" in meta
 
     cfg = Config()
     model = YOLOv5(first_out=cfg.first_out, nc=cfg.nc,

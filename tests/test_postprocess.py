@@ -41,6 +41,57 @@ def test_fused_matches_two_stage(rng):
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-4)
 
 
+def test_fused_orders_saturated_ties_by_logit():
+    """Documented tie-break divergence (module docstring): when several
+    overlapping candidates SATURATE to conf==1.0 in f32 (obj logit >~17),
+    the unfused path falls back to flat-index order while the fused path
+    still ranks by the true logits — so fused keeps the HIGHER-LOGIT member
+    of the cluster. This pins both halves of that statement."""
+    nc = 3
+    # one P3 layer only: 2 anchors in cell (0,0), same class, overlapping
+    # boxes, obj logits 18 vs 20 — both sigmoid() to exactly 1.0 in f32
+    p = np.full((1, 3, 4, 4, 5 + nc), -20.0, np.float32)
+    for a, logit in ((0, 18.0), (1, 20.0)):
+        p[0, a, 0, 0, :2] = 0.0          # txy: center of the cell
+        p[0, a, 0, 0, 2:4] = 0.0         # twh: anchor-sized box
+        p[0, a, 0, 0, 4] = logit
+        p[0, a, 0, 0, 5] = 9.0           # class 0
+    anchors = jnp.asarray([[[1.0, 1.0], [1.08, 1.08], [3.0, 3.0]]],
+                          jnp.float32)
+    preds = [jnp.asarray(p)]
+    kw = dict(conf_threshold=0.25, iou_threshold=0.5, max_detections=10,
+              pre_nms_topk=128)
+
+    rows = decode_predictions(preds, anchors, strides=(8,))
+    assert float(jnp.max(rows[..., 1])) == 1.0  # really saturated
+    out_u, valid_u = batched_nms(rows, kw["iou_threshold"],
+                                 kw["conf_threshold"], 10, 128)
+    out_f, valid_f = fused_detect(preds, anchors, strides=(8,),
+                                  gate="sort", **kw)
+    assert int(np.asarray(valid_u).sum()) == 1
+    assert int(np.asarray(valid_f).sum()) == 1
+    w_unfused = float(out_u[0, 0, 4] - out_u[0, 0, 2])   # x2 - x1
+    w_fused = float(out_f[0, 0, 4] - out_f[0, 0, 2])
+    assert w_unfused == 8.0 * 1.0        # index-first: the logit-18 box
+    assert abs(w_fused - 8.0 * 1.08) < 1e-4  # logit-first: the logit-20 box
+
+
+def test_fused_pallas_backend_matches_xla_interpret(rng):
+    """The FUSED pipeline's pallas suppression (interpret mode on CPU) must
+    match its XLA fixpoint backend — both route through ops.nms.suppress,
+    the single backend dispatch point shared with batched_nms."""
+    preds = _preds(rng)
+    anchors = jnp.asarray(_norm_anchors())
+    kw = dict(conf_threshold=0.3, iou_threshold=0.5, max_detections=300,
+              pre_nms_topk=128, gate="sort")
+    out_x, valid_x = fused_detect(preds, anchors, backend="xla", **kw)
+    out_p, valid_p = fused_detect(preds, anchors, backend="pallas",
+                                  interpret=True, **kw)
+    np.testing.assert_array_equal(np.asarray(valid_x), np.asarray(valid_p))
+    np.testing.assert_allclose(np.asarray(out_x), np.asarray(out_p),
+                               rtol=1e-6)
+
+
 def test_fused_bf16_inputs(rng):
     preds = [p.astype(jnp.bfloat16) for p in _preds(rng)]
     anchors = jnp.asarray(_norm_anchors())

@@ -72,7 +72,10 @@ def arg_parser():
                    help="YOLOv5 family variant (width+depth scaling; the "
                         "reference hardcodes 'm')")
     p.add_argument("--image_size", type=int, default=640)
-    p.add_argument("--max_boxes", type=int, default=120)
+    p.add_argument("--max_boxes", type=int, default=None,
+                   help="label-array capacity per image (default 120; "
+                        "--data synth defaults to 8 — its scene painter "
+                        "is static over this count)")
     p.add_argument("--iou_type", type=str, default="giou",
                    choices=["giou", "ciou", "diou", "iou"],
                    help="box regression objective (reference uses GIoU)")
@@ -203,6 +206,12 @@ def main(opt):
     from yolov5m_tpu.models.yolo import FAMILY
 
     root, nc, labels = resolve_dataset(opt)
+    if opt.max_boxes is None:
+        # synth scenes default to 8 objects (the painter is a static loop
+        # over capacity — 120 would be 15x the generator compile for empty
+        # slots); disk labels keep the reference-scale 120. An explicit
+        # --max_boxes wins on both paths.
+        opt.max_boxes = 8 if opt.data == "synth" else 120
     fam_fo, fam_dm = FAMILY[getattr(opt, "model", "m")]
     first_out = opt.first_out if opt.first_out is not None else fam_fo
     cfg = Config(first_out=first_out, nc=nc, image_size=opt.image_size,
@@ -284,11 +293,12 @@ def main(opt):
         from yolov5m_tpu.data.synthetic import SyntheticLoader
         train_loader = SyntheticLoader(
             opt.bs, steps=getattr(opt, "synth_steps", 50),
-            image_size=opt.image_size, nc=nc,
+            image_size=opt.image_size, nc=nc, max_boxes=opt.max_boxes,
             multi_scale_sizes=ms_sizes, train=True)
         val_loader = SyntheticLoader(
             opt.bs, steps=getattr(opt, "synth_val_batches", 8),
-            image_size=opt.image_size, nc=nc, train=False)
+            image_size=opt.image_size, nc=nc, max_boxes=opt.max_boxes,
+            train=False)
         print(f"==> synthetic on-device data: {len(train_loader)} "
               f"train batches/epoch, {len(val_loader)} fixed eval batches")
     else:

@@ -14,6 +14,7 @@ exercise the converter without the reference installed.
 
 from __future__ import annotations
 
+import os
 import re
 from typing import Dict, Tuple
 
@@ -126,3 +127,47 @@ def expected_torch_keys(variables) -> Dict[str, Tuple[int, ...]]:
             tkey = torch_key_for_path(collection, path)
             keys[tkey] = _to_torch(tkey, np.asarray(value)).shape
     return keys
+
+
+# Committed flagship weights (trained on structured synthetic scenes by
+# benchmarks/train_flagship_synth.py; provenance sidecar lives next to the
+# blob). One loader for every harness that consumes them — bench.py,
+# benchmarks/map_parity.py, benchmarks/profile_latency.py and the sidecar
+# pin test all read the SAME bytes through the same code path, so a rename
+# or dtype-handling change cannot make them silently diverge.
+FLAGSHIP_WEIGHTS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "weights", "flagship_synth_bf16.msgpack")
+
+
+def load_flagship(fold: bool = True, missing_ok: bool = False):
+    """Load the committed flagship weights as f32 flax variables.
+
+    Returns ``(variables, sidecar)`` where ``sidecar`` is the provenance
+    JSON dict (None if the sidecar file is absent). ``fold=True`` returns
+    BN-folded variables for the ``fused=True`` serving model; ``fold=False``
+    returns the raw {params, batch_stats} tree. With ``missing_ok=True`` a
+    missing blob (fresh clone / installed wheel) yields ``(None, None)``
+    instead of raising FileNotFoundError.
+    """
+    import json
+
+    if not os.path.isfile(FLAGSHIP_WEIGHTS):
+        if missing_ok:
+            return None, None
+        raise FileNotFoundError(FLAGSHIP_WEIGHTS)
+    import jax
+    from flax import serialization
+
+    with open(FLAGSHIP_WEIGHTS, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    variables = jax.tree.map(lambda x: np.asarray(x, np.float32), raw)
+    if fold:
+        from .fuse import fold_batchnorm
+        variables = fold_batchnorm(variables)
+    sidecar = None
+    sidecar_path = FLAGSHIP_WEIGHTS.replace(".msgpack", ".json")
+    if os.path.isfile(sidecar_path):
+        with open(sidecar_path) as f:
+            sidecar = json.load(f)
+    return variables, sidecar

@@ -35,7 +35,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from yolov5m_tpu.ops.boxes import pairwise_iou_xyxy
+from yolov5m_tpu.ops.boxes import pairwise_iou_xyxy, xywh_to_xyxy
 
 NEG_INF = -1e10
 
@@ -152,9 +152,38 @@ def _prepare(rows: jnp.ndarray, conf_threshold: float, k: int):
     top_scores, top_idx = jax.lax.top_k(gated, k)
     cand = rows[top_idx]
     valid = top_scores > NEG_INF / 2
-    cx, cy, w, h = cand[:, 2], cand[:, 3], cand[:, 4], cand[:, 5]
-    boxes = jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=-1)
-    return boxes, cand[:, 0], cand[:, 1], valid
+    return xywh_to_xyxy(cand[:, 2:6]), cand[:, 0], cand[:, 1], valid
+
+
+def suppress(boxes, cls, valid, iou_threshold, backend="xla",
+             interpret=False):
+    """Greedy class-aware suppression over score-sorted candidates — the
+    single backend dispatch point (batched_nms and ops.postprocess.
+    fused_detect both route here, so the backends cannot drift between the
+    fused and unfused pipelines).
+
+    Args:
+      boxes: (bs, K, 4) xyxy, descending-score order.
+      cls: (bs, K) class ids; valid: (bs, K) bool.
+      backend: resolved backend name ("xla" | "xla_loop" | "pallas").
+      interpret: run the pallas kernel in interpreter mode (CPU testing).
+    Returns:
+      (bs, K) bool keep mask — identical across backends (pinned by
+      tests/test_decode_nms.py backend-equality tests).
+    """
+    if backend == "pallas":
+        from yolov5m_tpu.ops.pallas import greedy_suppress_pallas
+        return greedy_suppress_pallas(boxes, cls, valid, iou_threshold,
+                                      interpret=interpret)
+    if backend == "xla_loop":
+        def suppress_one(b, c, v):
+            iou = pairwise_iou_xyxy(b, b)
+            mat = (iou > iou_threshold) & (c[:, None] == c[None, :])
+            return _greedy_suppress(mat, v)
+
+        return jax.vmap(suppress_one)(boxes, cls, valid)
+    return _greedy_suppress_fixpoint(
+        _suppress_matrix(boxes, cls, iou_threshold), valid)
 
 
 def _compact(boxes, cls, conf, keep, max_detections: int):
@@ -199,20 +228,8 @@ def batched_nms(rows, iou_threshold, conf_threshold, max_detections=300,
     boxes, cls, conf, valid = jax.vmap(
         functools.partial(_prepare, conf_threshold=conf_threshold, k=k))(rows)
 
-    if backend == "pallas":
-        from yolov5m_tpu.ops.pallas import greedy_suppress_pallas
-        keep = greedy_suppress_pallas(boxes, cls, valid, iou_threshold,
-                                      interpret=interpret)
-    elif backend == "xla_loop":
-        def suppress_one(b, c, v):
-            iou = pairwise_iou_xyxy(b, b)
-            mat = (iou > iou_threshold) & (c[:, None] == c[None, :])
-            return _greedy_suppress(mat, v)
-
-        keep = jax.vmap(suppress_one)(boxes, cls, valid)
-    else:
-        keep = _greedy_suppress_fixpoint(
-            _suppress_matrix(boxes, cls, iou_threshold), valid)
+    keep = suppress(boxes, cls, valid, iou_threshold, backend=backend,
+                    interpret=interpret)
 
     return jax.vmap(functools.partial(_compact, max_detections=max_detections))(
         boxes, cls, conf, keep)

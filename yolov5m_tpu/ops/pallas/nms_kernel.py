@@ -118,6 +118,13 @@ def greedy_suppress_pallas(boxes_xyxy: jnp.ndarray, classes: jnp.ndarray,
     Returns:
       (bs, K) bool keep mask. Semantics identical to ops.nms._greedy_suppress.
     """
+    if not _HAS_PLTPU:
+        # without pltpu the VMEM scratch spec can't even be constructed
+        # (interpret mode included) — fail readably instead of with a
+        # pallas_call arity TypeError
+        raise RuntimeError(
+            "pallas NMS backend unavailable: jax.experimental.pallas.tpu "
+            "failed to import on this jax build; use backend='xla'")
     bs, k, _ = boxes_xyxy.shape
     assert k % 128 == 0, f"K must be a multiple of 128 (lanes), got {k}"
     assert k <= MAX_K, (
@@ -135,16 +142,14 @@ def greedy_suppress_pallas(boxes_xyxy: jnp.ndarray, classes: jnp.ndarray,
     in_specs = [pl.BlockSpec((1, 8, k), lambda b: (b, 0, 0)),
                 pl.BlockSpec((1, k, 8), lambda b: (b, 0, 0))]
     out_specs = pl.BlockSpec((1, 1, k), lambda b: (b, 0, 0))
-    if _HAS_PLTPU and not interpret:
+    scratch = [pltpu.VMEM((k, k), jnp.bfloat16)]
+    if not interpret:
         in_specs = [pl.BlockSpec((1, 8, k), lambda b: (b, 0, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((1, k, 8), lambda b: (b, 0, 0),
                                  memory_space=pltpu.VMEM)]
         out_specs = pl.BlockSpec((1, 1, k), lambda b: (b, 0, 0),
                                  memory_space=pltpu.VMEM)
-        scratch = [pltpu.VMEM((k, k), jnp.bfloat16)]
-    else:
-        scratch = [pltpu.VMEM((k, k), jnp.bfloat16)] if _HAS_PLTPU else []
 
     keep = pl.pallas_call(
         functools.partial(_nms_kernel, iou_threshold),

@@ -15,7 +15,15 @@ anchors and strides for the gather come from precomputed per-row constant
 tables baked into the jit.
 
 Semantics match decode_predictions + batched_nms exactly (same reference
-math: plot_utils.py:23-27 decode, bboxes_utils.py:175-209 NMS).
+math: plot_utils.py:23-27 decode, bboxes_utils.py:175-209 NMS) — up to one
+documented tie-break: candidates here are ordered by objectness LOGIT,
+while the unfused path orders by sigmoid(conf). Sigmoid is monotone but
+not injective in f32 (logits above ~16.7 all round to conf==1.0), so when
+several candidates SATURATE to the same f32 confidence, the unfused sort
+falls back to index order while this path still ranks them by their true
+logits — strictly more information, but greedy NMS may then keep a
+different member of a saturated overlapping cluster. Below saturation the
+two pipelines are bit-identical (pinned by tests/test_postprocess.py).
 """
 
 from __future__ import annotations
@@ -27,10 +35,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from yolov5m_tpu.ops.decode import make_grid
 from yolov5m_tpu.ops.nms import (
-    NEG_INF, _compact, _greedy_suppress, _greedy_suppress_fixpoint,
-    _suppress_matrix, resolve_backend)
-from yolov5m_tpu.ops.boxes import pairwise_iou_xyxy
+    NEG_INF, _compact, resolve_backend, suppress)
 
 
 def _row_tables(grid_sizes: Sequence[Tuple[int, int]], anchors_norm,
@@ -41,9 +48,7 @@ def _row_tables(grid_sizes: Sequence[Tuple[int, int]], anchors_norm,
     na = anchors_norm.shape[1]
     gxy, awh, std = [], [], []
     for s, (ny, nx) in enumerate(grid_sizes):
-        ys = jax.lax.broadcasted_iota(jnp.float32, (ny, nx), 0)
-        xs = jax.lax.broadcasted_iota(jnp.float32, (ny, nx), 1)
-        g = jnp.stack([xs, ys], -1).reshape(1, ny * nx, 2)
+        g = make_grid(ny, nx).reshape(1, ny * nx, 2)
         gxy.append(jnp.broadcast_to(g, (na, ny * nx, 2)).reshape(-1, 2))
         a = (anchors_norm[s].astype(jnp.float32) * strides[s])[:, None, :]
         awh.append(jnp.broadcast_to(a, (na, ny * nx, 2)).reshape(-1, 2))
@@ -107,7 +112,8 @@ def _gate_compact(gated, k):
 @functools.partial(
     jax.jit,
     static_argnames=("strides", "conf_threshold", "iou_threshold",
-                     "max_detections", "pre_nms_topk", "backend", "gate"))
+                     "max_detections", "pre_nms_topk", "backend", "gate",
+                     "interpret"))
 def fused_detect(
     preds,
     anchors_norm,
@@ -118,6 +124,7 @@ def fused_detect(
     pre_nms_topk: int = 1024,
     backend: str = "auto",
     gate: str = "auto",
+    interpret: bool = False,
 ):
     """preds: list of (bs, na, ny, nx, 5+nc) raw logits (any float dtype).
 
@@ -170,19 +177,8 @@ def fused_detect(
     cls = jnp.argmax(rows[..., 5:], axis=-1).astype(jnp.float32)
     boxes = jnp.concatenate([xy - wh / 2, xy + wh / 2], axis=-1)  # (bs, K, 4)
 
-    if backend == "pallas":
-        from yolov5m_tpu.ops.pallas import greedy_suppress_pallas
-        keep = greedy_suppress_pallas(boxes, cls, valid, iou_threshold)
-    elif backend == "xla_loop":
-        def suppress_one(b, c, v):
-            iou = pairwise_iou_xyxy(b, b)
-            mat = (iou > iou_threshold) & (c[:, None] == c[None, :])
-            return _greedy_suppress(mat, v)
-
-        keep = jax.vmap(suppress_one)(boxes, cls, valid)
-    else:
-        keep = _greedy_suppress_fixpoint(
-            _suppress_matrix(boxes, cls, iou_threshold), valid)
+    keep = suppress(boxes, cls, valid, iou_threshold, backend=backend,
+                    interpret=interpret)
 
     return jax.vmap(functools.partial(_compact, max_detections=max_detections))(
         boxes, cls, conf, keep)
