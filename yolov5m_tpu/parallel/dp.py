@@ -15,9 +15,13 @@ configuration the north star requires (BASELINE.json configs[4]):
 Multi-host: call jax.distributed.initialize() before make_mesh and the same
 code runs over DCN+ICI; collectives are laid out by XLA along the mesh.
 
-TP/PP/SP/EP are intentionally out of scope for this workload: a CNN detector
-has no sequence dimension and fits comfortably in one chip's HBM
-(~21M params); DP is the complete parallelism surface (SURVEY.md §2).
+DP is the WORKHORSE axis for this workload (a CNN detector with ~21M params
+fits one chip's HBM, so scaling out over the batch is the natural move and
+what the north star measures). The sibling modules cover the rest of the
+matrix for the regimes DP can't reach: sp.py (spatial partitioning — batch
+smaller than the mesh / large canvases), tp.py (channel sharding — widths
+past one chip), pp.py (pipeline + DPxPP composition); EP stays n/a (no
+routed experts in this architecture, SURVEY.md §2).
 """
 
 from __future__ import annotations
@@ -47,8 +51,59 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     if coordinator_address is not None:
         kwargs = dict(coordinator_address=coordinator_address,
                       num_processes=num_processes, process_id=process_id)
+    elif num_processes is not None or process_id is not None:
+        # an explicit topology without a coordinator would be silently
+        # DROPPED below (autodetect mode ignores it) — the caller's stated
+        # intent must not degrade into autodetected identity
+        raise ValueError(
+            "num_processes/process_id require coordinator_address; pass all "
+            "three, or none for cluster autodetection")
     jax.distributed.initialize(**kwargs)
     return jax.process_index()
+
+
+def make_mesh2d(n_major: int, n_minor: int, major_axis: str,
+                minor_axis: str) -> Mesh:
+    """Shared 2-D mesh builder behind make_sp_mesh / make_tp_mesh /
+    make_dp_pp_mesh (each fronts it with its domain's axis names).
+
+    The minor axis is the fastest-varying dimension, so that axis's
+    per-layer / per-tick collectives (halo exchanges, channel gathers,
+    pipeline ppermutes) ride nearest-neighbor ICI links under the default
+    device enumeration; the major axis carries only per-step reductions.
+    """
+    n = n_major * n_minor
+    devices = jax.devices()
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    grid = np.asarray(devices[:n]).reshape(n_major, n_minor)
+    return Mesh(grid, (major_axis, minor_axis))
+
+
+def resolve_data_axis(data_axis: Optional[str], mesh: Mesh,
+                      reserved: tuple = ()) -> Optional[str]:
+    """Validate an optional batch-sharding axis against the mesh.
+
+    The DEFAULT name "data" degrades to None on a 1-D mesh without it (the
+    documented convenience for pure-SP/TP meshes); any other miss is
+    treated as a typo/renamed-axis mistake and raises — silently
+    replicating the batch would deliver 1/n_data of the expected
+    throughput with no diagnostic (every data-row of chips redundantly
+    computing the full batch). `reserved` names compute axes the batch
+    must not alias (e.g. PP's pipe axis: sharding the batch over it would
+    feed each pipeline stage a different batch slice and silently corrupt
+    results)."""
+    if data_axis is not None and data_axis in reserved:
+        raise ValueError(
+            f"data_axis {data_axis!r} is this mesh's compute axis; "
+            f"sharding the batch over it would corrupt results")
+    if data_axis is None or data_axis in mesh.axis_names:
+        return data_axis
+    if data_axis == "data" and len(mesh.axis_names) == 1:
+        return None
+    raise ValueError(
+        f"data_axis {data_axis!r} is not one of this mesh's axes "
+        f"{mesh.axis_names}; pass None to replicate the batch instead")
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
@@ -67,7 +122,15 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
 def local_batch_slice(global_batch_size: int) -> slice:
     """The slice of the global batch this host should feed (multi-host DP:
     each host loads only its shard; device_put then places per-device)."""
-    per = global_batch_size // jax.process_count()
+    n_proc = jax.process_count()
+    if global_batch_size % n_proc:
+        # never truncate silently (same stance as make_mesh): flooring the
+        # per-host share would drop the remainder rows while the caller
+        # sized loss scaling and throughput to the full global batch
+        raise ValueError(
+            f"global batch {global_batch_size} is not divisible by the "
+            f"{n_proc} participating hosts")
+    per = global_batch_size // n_proc
     start = jax.process_index() * per
     return slice(start, start + per)
 
@@ -104,7 +167,8 @@ def make_dp_train_step(model, loss_fn, optimizer, mesh: Mesh,
                        donate: bool = False, flat: bool = False) -> Callable:
     """shard_mapped + jitted DP train step.
 
-    The global batch must divide the mesh size. Losses/grads are psum-summed
+    The mesh size must divide the global batch (each device takes
+    batch/mesh_size rows). Losses/grads are psum-summed
     over devices, so the update equals a single-device step on the full
     global batch (the reference's accumulation semantics, scaled out).
 

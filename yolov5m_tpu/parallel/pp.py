@@ -256,12 +256,8 @@ def make_dp_pp_mesh(n_data: int = 2, n_pipe: int = 4,
     The pipe axis is minor (fastest-varying), so each replica's per-tick
     activation ppermute rides nearest-neighbor ICI links; the data axis
     carries only the per-step gradient allreduce."""
-    n = n_data * n_pipe
-    devices = jax.devices()
-    if len(devices) < n:
-        raise ValueError(f"need {n} devices, have {len(devices)}")
-    grid = np.asarray(devices[:n]).reshape(n_data, n_pipe)
-    return Mesh(grid, (data_axis, pipe_axis))
+    from yolov5m_tpu.parallel.dp import make_mesh2d
+    return make_mesh2d(n_data, n_pipe, data_axis, pipe_axis)
 
 
 def _plain(tree):
@@ -306,7 +302,12 @@ def make_pp_infer_fn(model, variables, anchors_norm, mesh: Mesh,
     """
     from yolov5m_tpu.ops.postprocess import fused_detect
 
+    from yolov5m_tpu.parallel.dp import resolve_data_axis
+
     S = mesh.shape[pipe_axis]
+    # an explicit DP-composition request must not degrade, alias the pipe
+    # axis, or die in a bare KeyError: validate against the axis inventory
+    data_axis = resolve_data_axis(data_axis, mesh, reserved=(pipe_axis,))
     D = mesh.shape[data_axis] if data_axis else 1
     M, mb = num_microbatches, microbatch
     plan = StagePlan(model, variables, (mb, *image_hw, 3), S, cuts)
@@ -421,10 +422,25 @@ def make_pp_train_step(model, loss_fn, optimizer, mesh: Mesh,
     Metrics: loss/parts are per-micro-batch MEANS of the global
     (data-summed) loss (the accumulate path reports the last
     micro-batch's); grad_norm is the norm of the summed pre-clip gradient.
+
+    KNOWN multi-chip ingress limitation: inputs arrive REPLICATED on every
+    mesh device (in_shardings=P()) because the micro-batch-major flat row
+    layout cannot be sharded on dim 0 by "data" directly — on real
+    hardware that is D*S x the ingress HBM/interconnect traffic of a
+    data-sharded feed, though only ~batch-sized (activations, the actual
+    PP traffic, are ppermuted not replicated). A data-major input contract
+    ((M, D*mb, ...) with dim 1 sharded) would remove it; left as-is
+    because DP dominates PP for every model that fits a chip (module
+    docstring) and the equivalence tests pin the current layout.
     """
     from yolov5m_tpu.train.trainer import _ema_decay
 
+    from yolov5m_tpu.parallel.dp import resolve_data_axis
+
     S = mesh.shape[pipe_axis]
+    # an explicit DP-composition request must not degrade, alias the pipe
+    # axis, or die in a bare KeyError: validate against the axis inventory
+    data_axis = resolve_data_axis(data_axis, mesh, reserved=(pipe_axis,))
     D = mesh.shape[data_axis] if data_axis else 1
     M, mb = num_microbatches, microbatch
     T = M + S - 1

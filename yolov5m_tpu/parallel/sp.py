@@ -45,7 +45,6 @@ from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -58,12 +57,8 @@ def make_sp_mesh(n_data: int = 1, n_spatial: int = 2,
     exchanges between row-adjacent shards land on physically adjacent chips
     (ICI nearest-neighbor links) under the default device enumeration.
     """
-    n = n_data * n_spatial
-    devices = jax.devices()
-    if len(devices) < n:
-        raise ValueError(f"need {n} devices, have {len(devices)}")
-    grid = np.asarray(devices[:n]).reshape(n_data, n_spatial)
-    return Mesh(grid, (data_axis, spatial_axis))
+    from yolov5m_tpu.parallel.dp import make_mesh2d
+    return make_mesh2d(n_data, n_spatial, data_axis, spatial_axis)
 
 
 def make_sp_infer_fn(model, variables, anchors_norm, mesh: Mesh,
@@ -90,8 +85,8 @@ def make_sp_infer_fn(model, variables, anchors_norm, mesh: Mesh,
     """
     from yolov5m_tpu.ops.postprocess import fused_detect
 
-    if data_axis is not None and data_axis not in mesh.axis_names:
-        data_axis = None
+    from yolov5m_tpu.parallel.dp import resolve_data_axis
+    data_axis = resolve_data_axis(data_axis, mesh, reserved=(spatial_axis,))
     anchors_norm = jnp.asarray(anchors_norm)
     # params replicated: every chip runs every layer on its row slice
     variables = jax.device_put(variables, NamedSharding(mesh, P()))
@@ -143,8 +138,8 @@ def make_sp_train_step(model, loss_fn, optimizer, mesh: Mesh,
     """
     from yolov5m_tpu.train.trainer import make_train_step
 
-    if data_axis is not None and data_axis not in mesh.axis_names:
-        data_axis = None
+    from yolov5m_tpu.parallel.dp import resolve_data_axis
+    data_axis = resolve_data_axis(data_axis, mesh, reserved=(spatial_axis,))
 
     step = make_train_step(model, loss_fn, optimizer, accumulate)
     repl = NamedSharding(mesh, P())

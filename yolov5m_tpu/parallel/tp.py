@@ -44,7 +44,6 @@ from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -57,12 +56,8 @@ def make_tp_mesh(n_data: int = 1, n_model: int = 2,
     collectives ride nearest-neighbor ICI links under the default device
     enumeration, mirroring make_sp_mesh's layout argument.
     """
-    n = n_data * n_model
-    devices = jax.devices()
-    if len(devices) < n:
-        raise ValueError(f"need {n} devices, have {len(devices)}")
-    grid = np.asarray(devices[:n]).reshape(n_data, n_model)
-    return Mesh(grid, (data_axis, model_axis))
+    from yolov5m_tpu.parallel.dp import make_mesh2d
+    return make_mesh2d(n_data, n_model, data_axis, model_axis)
 
 
 def variable_pspec(path_leaf, n_model: int, model_axis: str) -> P:
@@ -126,8 +121,8 @@ def make_tp_infer_fn(model, variables, anchors_norm, mesh: Mesh,
     """
     from yolov5m_tpu.ops.postprocess import fused_detect
 
-    if data_axis is not None and data_axis not in mesh.axis_names:
-        data_axis = None
+    from yolov5m_tpu.parallel.dp import resolve_data_axis
+    data_axis = resolve_data_axis(data_axis, mesh, reserved=(model_axis,))
     anchors_norm = jnp.asarray(anchors_norm)
     variables = shard_variables_tp(variables, mesh, model_axis)
 
@@ -157,7 +152,8 @@ def make_tp_infer_fn(model, variables, anchors_norm, mesh: Mesh,
 def make_tp_train_step(model, loss_fn, optimizer, mesh: Mesh,
                        accumulate: int = 1,
                        model_axis: str = "model",
-                       data_axis: Optional[str] = "data") -> Callable:
+                       data_axis: Optional[str] = "data",
+                       donate: bool = True) -> Callable:
     """TP training: jit the standard train step with every param-shaped
     leaf of the TrainState (params, Adam mu/nu, EMA, batch_stats) sharded
     along its channel dim and the batch over `data_axis`. GSPMD partitions
@@ -173,11 +169,17 @@ def make_tp_train_step(model, loss_fn, optimizer, mesh: Mesh,
     tolerance discipline as tests/test_sp_train.py).
 
     Returns `step(state, image, labels, mask) -> (state, metrics)`.
+
+    donate=True (default, like parallel/pp.py — a training loop rebinds
+    the state every step) donates the input TrainState buffers so the ~6
+    param-sized arrays update in place; pass donate=False to keep the
+    pre-step state alive (e.g. for before/after comparisons). NOTE:
+    parallel/dp.py's make_dp_train_step defaults the same knob to False.
     """
     from yolov5m_tpu.train.trainer import make_train_step
 
-    if data_axis is not None and data_axis not in mesh.axis_names:
-        data_axis = None
+    from yolov5m_tpu.parallel.dp import resolve_data_axis
+    data_axis = resolve_data_axis(data_axis, mesh, reserved=(model_axis,))
     n_model = mesh.shape[model_axis]
 
     step = make_train_step(model, loss_fn, optimizer, accumulate)
@@ -192,6 +194,7 @@ def make_tp_train_step(model, loss_fn, optimizer, mesh: Mesh,
     repl = NamedSharding(mesh, P())
 
     cache = {}  # one jitted step per state treedef (stable across steps)
+    donate_kw = {"donate_argnums": (0,)} if donate else {}
 
     def tp_step(state, image, labels, mask):
         key = jax.tree.structure(state)
@@ -200,7 +203,7 @@ def make_tp_train_step(model, loss_fn, optimizer, mesh: Mesh,
             cache[key] = jax.jit(step,
                                  in_shardings=(st_sh, img_s, row_s, row_s),
                                  out_shardings=(st_sh, repl),
-                                 donate_argnums=0)
+                                 **donate_kw)
         return cache[key](state, image, labels, mask)
 
     return tp_step
