@@ -99,6 +99,56 @@ def test_ultralytics_loss_matches_golden(rng):
                                    err_msg=k)
 
 
+def test_ultralytics_edge_box_regresses_to_clipped_cell(rng):
+    """A box centered exactly on the image edge (x_norm == 1.0): gij == nx
+    for the center-offset row, which the reference clamps IN PLACE before
+    building tbox (ultralytics_loss.py:285,296) — so dx must be 1.0
+    relative to cell nx-1, not 0.0 relative to a nonexistent cell nx.
+    Pinned at the target-builder level and through the full loss vs the
+    sequential golden."""
+    bs, hw = 1, 64
+    labels = np.zeros((bs, 4, 5), np.float32)
+    mask = np.zeros((bs, 4), bool)
+    labels[0, 0] = [1, 1.0, 0.5, 0.2, 0.2]     # x on the right edge
+    labels[0, 1] = [0, 0.5, 1.0, 0.2, 0.2]     # y on the bottom edge
+    mask[0, :2] = True
+    per_image = [labels[0, :2]]
+
+    grid_sizes = [(hw // s, hw // s) for s in (8, 16, 32)]
+    flat = build_flat_targets(jnp.asarray(labels), jnp.asarray(mask),
+                              jnp.asarray(ANCHORS_PX), grid_sizes)
+    checked = 0
+    for s, (ny, nx) in enumerate(grid_sizes):
+        rec = flat[s]
+        v = np.asarray(rec["valid"])
+        gi = np.asarray(rec["gi"])[v]
+        gj = np.asarray(rec["gj"])[v]
+        tcls = np.asarray(rec["tcls"])[v]
+        tbox = np.asarray(rec["tbox"])[v]
+        # the edge-x box (class 1): every row sits at the clipped cell
+        # column nx-1 with dx == gx - (nx-1) == 1.0 (gx == nx exactly,
+        # and its only offset candidates are center and left — both
+        # resolve to column nx-1)
+        edge_x = tcls == 1
+        if edge_x.any():
+            np.testing.assert_array_equal(gi[edge_x], nx - 1)
+            np.testing.assert_allclose(tbox[edge_x, 0], 1.0)
+            checked += 1
+        edge_y = tcls == 0                      # the edge-y box
+        if edge_y.any():
+            np.testing.assert_array_equal(gj[edge_y], ny - 1)
+            np.testing.assert_allclose(tbox[edge_y, 1], 1.0)
+            checked += 1
+    assert checked >= 2, "edge boxes matched no anchors at any scale"
+
+    preds = _random_preds(rng, bs, hw)
+    loss_fn = YoloLoss(LossConfig(nc=NC), ANCHORS_PX, kind="ultralytics")
+    total, parts = loss_fn([jnp.asarray(p) for p in preds],
+                           jnp.asarray(labels), jnp.asarray(mask))
+    exp_total, exp_parts = golden_ultra_loss(preds, per_image, ANCHORS_PX, NC)
+    np.testing.assert_allclose(float(total), exp_total, rtol=1e-4)
+
+
 def test_loss_is_differentiable_and_finite(rng):
     bs, hw = 2, 64
     labels, mask, _ = _random_labels(rng, bs, [4, 1])

@@ -64,6 +64,49 @@ def anchor_iou_all(wh: jnp.ndarray, anchors_px: jnp.ndarray) -> jnp.ndarray:
     return iou.reshape(*wh.shape[:-1], anchors_px.shape[0], anchors_px.shape[1])
 
 
+def _winner_grid(label_mask: jnp.ndarray, a_best: jnp.ndarray,
+                 i: jnp.ndarray, j: jnp.ndarray,
+                 na: int, ny: int, nx: int) -> jnp.ndarray:
+    """Scatter-min claim tournament: first valid box per (anchor, cell) wins.
+
+    The TPU-native replacement for the reference's sequential `anchor_taken`
+    loop (reference loss.py:155-175): every box scatters its own index into
+    its (a_best, i, j) cell with a min-combiner, so the lowest box index —
+    the reference's first-come-first-served order — wins without any
+    sequential dependency. Returns (bs, na, ny, nx) int32 of winning box
+    ids, `nb` where no box claimed the cell. Shared by the dense
+    (build_grid_targets, eval path) and sparse (build_sparse_grid_targets,
+    loss hot path) builders so the assignment semantics cannot drift.
+    """
+    bs, nb = label_mask.shape
+    box_ids = jnp.broadcast_to(jnp.arange(nb)[None, :], (bs, nb))
+    claim = jnp.where(label_mask, box_ids, nb)            # padded boxes lose
+    winner = jnp.full((bs, na, ny, nx), nb, jnp.int32)
+    return winner.at[
+        jnp.arange(bs)[:, None], a_best, i, j
+    ].min(claim.astype(jnp.int32))
+
+
+def _ignore_grid(iou_s: jnp.ndarray, a_best: jnp.ndarray,
+                 label_mask: jnp.ndarray, i: jnp.ndarray, j: jnp.ndarray,
+                 na: int, ny: int, nx: int,
+                 ignore_iou_thresh: float) -> jnp.ndarray:
+    """(bs, na, ny, nx) bool: cells to EXCLUDE from the objectness loss —
+    any non-best anchor of this scale with IoU > thresh at the box's cell
+    (reference loss.py:189's -1 marks). Shared by both grid builders."""
+    bs, nb = label_mask.shape
+    is_best = jax.nn.one_hot(a_best, na, dtype=jnp.bool_)
+    ignore_cand = (iou_s > ignore_iou_thresh) & ~is_best & label_mask[..., None]
+    anchor_ids = jnp.broadcast_to(jnp.arange(na)[None, None, :], (bs, nb, na))
+    ign = jnp.zeros((bs, na, ny, nx), jnp.bool_)
+    return ign.at[
+        jnp.arange(bs)[:, None, None],
+        anchor_ids,
+        jnp.broadcast_to(i[..., None], (bs, nb, na)),
+        jnp.broadcast_to(j[..., None], (bs, nb, na)),
+    ].max(ignore_cand)
+
+
 def build_grid_targets(
     labels: jnp.ndarray,
     label_mask: jnp.ndarray,
@@ -91,7 +134,6 @@ def build_grid_targets(
 
     iou = anchor_iou_all(wh, anchors_px)                  # (bs, nb, nl, na)
     best_anchor = jnp.argmax(iou, axis=-1)                # (bs, nb, nl)
-    best_iou = jnp.max(iou, axis=-1)
 
     targets = []
     for s, (ny, nx) in enumerate(grid_sizes):
@@ -102,13 +144,8 @@ def build_grid_targets(
 
         a_best = best_anchor[..., s]                      # (bs, nb)
 
-        # --- positive assignment: first valid box per (a, i, j) wins ---
-        box_ids = jnp.broadcast_to(jnp.arange(nb)[None, :], (bs, nb))
-        claim = jnp.where(label_mask, box_ids, nb)        # padded boxes lose
-        winner = jnp.full((bs, na, ny, nx), nb, jnp.int32)
-        winner = winner.at[
-            jnp.arange(bs)[:, None], a_best, i, j
-        ].min(claim.astype(jnp.int32))                    # (bs, na, ny, nx)
+        # positive assignment: first valid box per (a, i, j) wins
+        winner = _winner_grid(label_mask, a_best, i, j, na, ny, nx)
 
         has_pos = winner < nb
         w_idx = jnp.where(has_pos, winner, 0)
@@ -121,19 +158,10 @@ def build_grid_targets(
         th = take(wh[..., 1] * ny)
         tc = take(cls)
 
-        # --- ignore marks: any anchor of this scale with iou > thresh that
-        # is not the box's best anchor for the scale (reference loss.py:189) ---
-        iou_s = iou[..., s, :]                            # (bs, nb, na)
-        is_best = jax.nn.one_hot(a_best, na, dtype=jnp.bool_)
-        ignore_cand = (iou_s > ignore_iou_thresh) & ~is_best & label_mask[..., None]
-        ign = jnp.zeros((bs, na, ny, nx), jnp.bool_)
-        anchor_ids = jnp.broadcast_to(jnp.arange(na)[None, None, :], (bs, nb, na))
-        ign = ign.at[
-            jnp.arange(bs)[:, None, None],
-            anchor_ids,
-            i[..., None] * jnp.ones((1, 1, na), jnp.int32),
-            j[..., None] * jnp.ones((1, 1, na), jnp.int32),
-        ].max(ignore_cand)
+        # ignore marks: any anchor of this scale with iou > thresh that
+        # is not the box's best anchor for the scale (reference loss.py:189)
+        ign = _ignore_grid(iou[..., s, :], a_best, label_mask, i, j,
+                           na, ny, nx, ignore_iou_thresh)
 
         obj = jnp.where(has_pos, 1.0, jnp.where(ign, -1.0, 0.0))
         tgt = jnp.stack([tx, ty, tw, th, obj, tc], axis=-1)
@@ -187,12 +215,8 @@ def build_sparse_grid_targets(
         i = jnp.clip(gy.astype(jnp.int32), 0, ny - 1)
         a_best = best_anchor[..., s]
 
+        winner = _winner_grid(label_mask, a_best, i, j, na, ny, nx)
         box_ids = jnp.broadcast_to(jnp.arange(nb)[None, :], (bs, nb))
-        claim = jnp.where(label_mask, box_ids, nb)
-        winner = jnp.full((bs, na, ny, nx), nb, jnp.int32)
-        winner = winner.at[
-            jnp.arange(bs)[:, None], a_best, i, j
-        ].min(claim.astype(jnp.int32))
         won = winner[jnp.arange(bs)[:, None], a_best, i, j] == box_ids
         valid = label_mask & won
 
@@ -202,17 +226,8 @@ def build_sparse_grid_targets(
                           wh[..., 1] * ny], axis=-1)      # (bs, nb, 4)
 
         has_pos = winner < nb
-        iou_s = iou[..., s, :]
-        is_best = jax.nn.one_hot(a_best, na, dtype=jnp.bool_)
-        ignore_cand = (iou_s > ignore_iou_thresh) & ~is_best & label_mask[..., None]
-        ign = jnp.zeros((bs, na, ny, nx), jnp.bool_)
-        anchor_ids = jnp.broadcast_to(jnp.arange(na)[None, None, :], (bs, nb, na))
-        ign = ign.at[
-            jnp.arange(bs)[:, None, None],
-            anchor_ids,
-            jnp.broadcast_to(i[..., None], (bs, nb, na)),
-            jnp.broadcast_to(j[..., None], (bs, nb, na)),
-        ].max(ignore_cand)
+        ign = _ignore_grid(iou[..., s, :], a_best, label_mask, i, j,
+                           na, ny, nx, ignore_iou_thresh)
         ign = ign & ~has_pos
 
         n_flat = bs * nb
@@ -294,7 +309,13 @@ def build_flat_targets(
         gi = jnp.clip(gij[..., 0], 0, nx - 1)
         gj = jnp.clip(gij[..., 1], 0, ny - 1)
 
-        dxy = gxy[None, :, None, :] - gij.astype(jnp.float32)      # (5,N,na,2)
+        # dxy is relative to the CLIPPED cell: the reference's clamp_ is
+        # in-place on views of gij (ultralytics_loss.py:285,296), so its
+        # tbox = gxy - gij sees the clamped indices — an edge box (x_norm
+        # == 1.0 → gij == nx) regresses toward cell nx-1 with dx = 1.0,
+        # not toward a nonexistent cell nx with dx = 0.0.
+        gij_c = jnp.stack([gi, gj], axis=-1)
+        dxy = gxy[None, :, None, :] - gij_c.astype(jnp.float32)    # (5,N,na,2)
         tbox = jnp.concatenate(
             [dxy, jnp.broadcast_to(gwh[None, :, None, :], dxy.shape)], axis=-1)
 

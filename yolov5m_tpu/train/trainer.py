@@ -118,7 +118,18 @@ def create_train_state(model, cfg: Config, rng, input_hw: Tuple[int, int],
     option for resuming round-2 flat-layout checkpoints. Must match the
     `flat` passed to make_train_step."""
     variables = model.init(rng, jnp.zeros((1, *input_hw, 3), jnp.float32))
-    optimizer = optimizer or make_optimizer(cfg)
+    if optimizer is None:
+        if cfg.lr_schedule == "cosine":
+            # make_optimizer would assert on total_steps=None deep in
+            # make_lr_schedule; the opt_state built here must match the
+            # optimizer the caller will train with, so guessing a horizon
+            # is not an option — fail with the recipe instead
+            raise ValueError(
+                "cfg.lr_schedule='cosine' needs the actual optimizer "
+                "(its schedule is sized by total_steps): build it with "
+                "make_optimizer(cfg, total_steps=...) and pass it to "
+                "create_train_state")
+        optimizer = make_optimizer(cfg)
     params = variables["params"]
     flat = cfg.flat_optimizer if flat is None else flat
     if flat:
@@ -158,8 +169,11 @@ def make_train_step(
     Args:
       accumulate: opt step every N micro-batches (N = round(64/bs), reference
         training_utils.py:89).
-      pmean_axis: if set, grads are psum-reduced and batch_stats pmean-reduced
-        over this mesh axis (the DP path; see parallel/dp.py).
+      pmean_axis: if set, batch_stats are pmean-reduced over this mesh axis
+        (the DP path; see parallel/dp.py). Gradients need NO reduction
+        here: the loss's internal psums already make them global, and an
+        extra psum would multiply them by the mesh size (see the inline
+        comment in the step body).
       flat: run the whole optimizer/EMA/accumulation update in raveled
         flat-vector space. Numerically equivalent — clip_by_global_norm is
         already a global reduction, and every other chain member is
@@ -199,9 +213,9 @@ def make_train_step(
             flat_grads, unravel = jax.flatten_util.ravel_pytree(grads)
             flat_params = jax.flatten_util.ravel_pytree(state.params)[0]
             ema_flat = jax.flatten_util.ravel_pytree(state.ema_params)[0]
-            gnorm = jnp.linalg.norm(flat_grads)
 
             if accumulate == 1:
+                gnorm = jnp.linalg.norm(flat_grads)
                 updates, new_opt = optimizer.update(
                     flat_grads, state.opt_state, flat_params)
                 new_flat = flat_params + updates
@@ -210,6 +224,11 @@ def make_train_step(
                 new_accum = state.accum_grads
             else:
                 accum = state.accum_grads + flat_grads
+                # the norm the clip will act on: the accumulated gradient
+                # so far (at the firing micro-batch this IS the clipped
+                # vector; a per-micro-batch norm would hide clipping
+                # saturation — and parallel/pp.py reports the same sum)
+                gnorm = jnp.linalg.norm(accum)
                 do_update = (step % accumulate) == 0
 
                 def apply_update(_):
@@ -243,6 +262,9 @@ def make_train_step(
             gnorm = optax.global_norm(grads)
         else:
             accum = jax.tree.map(jnp.add, state.accum_grads, grads)
+            # norm of the ACCUMULATED gradient — what clip_by_global_norm
+            # acts on at the firing micro-batch (see flat branch comment)
+            gnorm = optax.global_norm(accum)
             do_update = (step % accumulate) == 0
 
             def apply_update(_):
@@ -261,7 +283,6 @@ def make_train_step(
 
             new_params, new_opt, new_accum, new_ema = jax.lax.cond(
                 do_update, apply_update, keep, None)
-            gnorm = optax.global_norm(grads)
 
         new_state = state.replace(
             step=step, params=new_params, batch_stats=new_stats,
