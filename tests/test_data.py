@@ -131,6 +131,24 @@ def test_native_resize_matches_cv2(rng):
     assert np.abs(got.astype(int) - exp.astype(int)).max() <= 1
 
 
+def test_numpy_resize_fallback_handles_grayscale(rng, monkeypatch):
+    """The pure-numpy bilinear (last link of the native→cv2→numpy fallback
+    chain) must handle 2-D images — letterbox documents (h, w) support —
+    including non-square targets, where a broadcasting bug once raised."""
+    import yolov5m_tpu.data.native as native
+
+    import sys
+
+    monkeypatch.setattr(native, "_load_lib", lambda: None)
+    monkeypatch.setitem(sys.modules, "cv2", None)   # import cv2 → ImportError
+    img2d = rng.integers(0, 255, (97, 123), np.uint8)
+    got = native.resize_bilinear(img2d, (64, 48))
+    assert got.shape == (48, 64)
+    img3d = np.repeat(img2d[..., None], 3, axis=-1)
+    got3d = native.resize_bilinear(img3d, (64, 48))
+    np.testing.assert_array_equal(got, got3d[..., 0])
+
+
 def test_letterbox_geometry(rng):
     img = rng.integers(0, 255, (100, 200, 3), np.uint8)
     out, ratio, (dw, dh) = letterbox(img, (128, 128))

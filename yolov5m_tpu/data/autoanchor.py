@@ -23,8 +23,11 @@ def collect_wh(dataset, image_size: int = 640,
     DetectionDataset (normalized labels * image_size)."""
     whs = []
     n = len(dataset) if max_items is None else min(len(dataset), max_items)
+    load = getattr(dataset, "load_labels", None)
     for i in range(n):
-        _, labels = dataset.load_item(i)
+        # labels-only path: no image decode (labels are normalized, so
+        # anchor statistics never need pixels)
+        labels = load(i) if load is not None else dataset.load_item(i)[1]
         if len(labels):
             whs.append(np.asarray(labels)[:, 3:5] * image_size)
     assert whs, "no labels found for anchor fitting"

@@ -46,8 +46,13 @@ def _coco_to_yolo_np(b: np.ndarray, w0: float, h0: float) -> np.ndarray:
 def load_label_file(path: str, box_format: str, w0: float, h0: float) -> np.ndarray:
     """One txt label file → (n, 5) float32 rows (class, x, y, w, h) normalized.
 
-    Mirrors reference dataset.py:88-102: negative-value rows dropped, wh
-    truncated to 3 decimals, coco classes 0-indexed.
+    Mirrors reference dataset.py:88-102: negative-value rows dropped,
+    columns 3:5 truncated to 3 decimals BEFORE the coco roll, coco classes
+    0-indexed. NOTE the truncation column quirk is the reference's own: on
+    coco rows (x1,y1,w,h,cls) the pre-roll columns 3:5 are (h_pixels,
+    class), so the truncation is effectively a no-op there and only bites
+    yolo-format (already-normalized) labels — reproduced as-is because
+    goldens and converted-weight parity are built on the same bytes.
     """
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
@@ -93,7 +98,14 @@ class DetectionDataset:
         self.rect = rect_training
         self.default_size = default_size
         self.bs = bs
-        self.batch_range = 64 if bs < 64 else 128  # reference dataset.py:34
+        # reference dataset.py:34 uses 64/128 outright; we round down to a
+        # multiple of bs so a batch can never straddle two shape buckets
+        # (a straddling batch would silently squash the second bucket's
+        # images to the first bucket's aspect ratio — BatchLoader sizes the
+        # whole batch from its first item). Unchanged whenever bs divides
+        # the reference value (16/32/64/128 — every documented recipe).
+        ref_range = 64 if bs < 64 else 128
+        self.batch_range = max((ref_range // bs) * bs, bs)
         self.box_format = bboxes_format
         self.max_boxes = max_boxes
 
@@ -155,9 +167,13 @@ class DetectionDataset:
         shape (±10% jitter for train), shuffle within bucket. The reference's
         `iloc[i:bs]` bug (only bucket 0 shaped) is fixed; bucket shapes cache
         to CSV like the reference."""
+        # default_size is part of the key: the planned shapes scale with it,
+        # so a rerun with a different --image_size must not reuse a cache
+        # planned for the old resolution
         cache = os.path.join(
             self.root, "labels",
-            f"adaptive_ann_{self.split}_{len(annotations)}_br_{self.batch_range}.csv")
+            f"adaptive_ann_{self.split}_{len(annotations)}_br_"
+            f"{self.batch_range}_sz_{self.default_size}.csv")
         if os.path.isfile(cache):
             rows = []
             with open(cache) as f:
@@ -217,6 +233,18 @@ class DetectionDataset:
                                  w0=img.shape[1], h0=img.shape[0])
         img = resize_bilinear(img, (int(w_t), int(h_t)))
         return img.astype(np.float32), labels
+
+    def load_labels(self, idx: int) -> np.ndarray:
+        """Labels only, WITHOUT decoding the image: normalization uses the
+        cached original size (orig_sizes survives the rect planner's
+        annotation rewrite). Label-statistics consumers (autoanchor) scan
+        thousands of items — a per-item JPEG decode+resize would turn a
+        sub-second label pass into minutes on a small host."""
+        name, _, _ = self.annotations[idx]
+        h0, w0 = self.orig_sizes[name]
+        label_path = os.path.join(self.labels_dir,
+                                  os.path.splitext(name)[0] + ".txt")
+        return load_label_file(label_path, self.box_format, w0=w0, h0=h0)
 
     def item_shape(self, idx: int) -> Tuple[int, int]:
         name, h, w = self.annotations[idx]

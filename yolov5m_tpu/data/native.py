@@ -62,10 +62,20 @@ def _load_lib() -> Optional[ctypes.CDLL]:
                  or (os.path.isfile(src)
                      and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)))
         if stale and os.path.isfile(os.path.join(_NATIVE_DIR, "Makefile")):
-            subprocess.run(
-                ["make", "-C", _NATIVE_DIR, "-B",
-                 f"TARGET={_LIB_PATH}"],
-                check=True, capture_output=True, timeout=120)
+            # build to a per-process temp path + atomic rename: concurrent
+            # processes (train + eval, parallel pytest) may race the
+            # rebuild, and g++ -o writes the .so in place — a second
+            # process could dlopen a half-written file
+            tmp = f"{_LIB_PATH}.tmp.{os.getpid()}"
+            try:
+                subprocess.run(
+                    ["make", "-C", _NATIVE_DIR, "-B",
+                     f"TARGET={tmp}"],
+                    check=True, capture_output=True, timeout=120)
+                os.replace(tmp, _LIB_PATH)
+            finally:
+                if os.path.isfile(tmp):
+                    os.remove(tmp)
         lib = ctypes.CDLL(_LIB_PATH)
         u8p = ctypes.POINTER(ctypes.c_uint8)
         lib.resize_bilinear_u8.argtypes = [u8p, ctypes.c_int, ctypes.c_int,
@@ -131,9 +141,14 @@ def resize_bilinear(img: np.ndarray, size_wh: Tuple[int, int]) -> np.ndarray:
     ty = (fy - y0)[:, None, None]
     tx = (fx - x0)[None, :, None]
     f = src_u8.astype(np.float32)
+    grayscale = f.ndim == 2          # letterbox supports (h, w) images too
+    if grayscale:
+        f = f[..., None]             # the [:, None, None] weights need HWC
     top = f[y0][:, x0] * (1 - tx) + f[y0][:, x1] * tx
     bot = f[y1][:, x0] * (1 - tx) + f[y1][:, x1] * tx
     out = top * (1 - ty) + bot * ty
+    if grayscale:
+        out = out[..., 0]
     return (out + 0.5).astype(np.uint8).astype(img.dtype, copy=False)
 
 
