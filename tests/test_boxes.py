@@ -150,3 +150,18 @@ def test_ciou_loss_differentiable():
         lambda ps: loss_fn(ps, labels, mask)[0])(preds)
     assert np.isfinite(float(val))
     assert all(np.all(np.isfinite(np.asarray(g))) for g in grads)
+
+
+def test_unletterbox_np_matches_jnp(rng):
+    """The numpy twin serving/server.py uses per request must be exactly
+    the device version's math (same clip/pad/ratio geometry)."""
+    from yolov5m_tpu.ops.boxes import unletterbox_boxes, unletterbox_boxes_np
+
+    boxes = rng.uniform(0, 640, (17, 4)).astype(np.float32)
+    for ratio, dwdh, orig_hw in (((0.5, 0.5), (16.0, 0.0), (720, 1280)),
+                                 (0.33, (0.0, 140.0), (1080, 1920)),
+                                 ((1.0, 1.0), (0.0, 0.0), (640, 640))):
+        a = np.asarray(unletterbox_boxes(jnp.asarray(boxes), ratio, dwdh,
+                                         orig_hw))
+        b = unletterbox_boxes_np(boxes, ratio, dwdh, orig_hw)
+        np.testing.assert_allclose(a, b, rtol=1e-6)

@@ -74,7 +74,13 @@ class ConfusionMatrix:
         return {"tp": tp, "fp": fp, "fn": fn}
 
     def save_csv(self, path: str, class_names=None) -> None:
-        names = list(class_names or range(self.nc)) + ["background"]
+        names = list(class_names or range(self.nc))
+        # defensive length normalization: a short custom label list would
+        # IndexError mid-write (leaving a truncated CSV on disk) and a
+        # long one would silently shift every header column
+        names = ([str(n) for n in names[: self.nc]]
+                 + [str(i) for i in range(len(names), self.nc)])
+        names += ["background"]
         with open(path, "w") as f:
             f.write("pred\\true," + ",".join(str(n) for n in names) + "\n")
             for i, row in enumerate(self.matrix):

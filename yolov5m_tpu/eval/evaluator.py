@@ -89,7 +89,12 @@ class Evaluator:
                 pred_cls = jnp.argmax(p[..., 5:], axis=-1)
                 correct_cls += jnp.sum(jnp.where(pos, pred_cls == t[..., 5], False))
                 total_cls += jnp.sum(pos)
-                # channel 4 = objectness (reference bug reads channel 0)
+                # channel 4 = objectness (reference bug reads channel 0).
+                # The 0.01 eval gate as the decision threshold is also the
+                # reference's semantics (validation_utils.py:66 passes
+                # config.CONF_THRESHOLD) — it saturates toward 100% once
+                # positives clear logit -4.6, so treat obj_accuracy as an
+                # early-training signal, not a calibrated metric.
                 obj_pred = jax.nn.sigmoid(p[..., 4]) > cfg.conf_threshold
                 correct_obj += jnp.sum(jnp.where(pos, obj_pred, False))
                 total_obj += jnp.sum(pos)

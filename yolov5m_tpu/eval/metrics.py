@@ -167,7 +167,18 @@ class MeanAveragePrecision:
 
     def compute(self) -> Dict[str, float]:
         if not self._records:
-            return {"map": -1.0, "map_50": -1.0, "map_75": -1.0}
+            # full key set either way (consumers index "precision" etc.);
+            # zero detections against EXISTING ground truth is a true mAP
+            # of 0.0 (early-epoch models), while -1.0 means "no data at
+            # all" (torchmetrics' undefined sentinel, which the reference's
+            # eval surfaces — validation_utils.py:128)
+            v = 0.0 if self._gt_counts else -1.0
+            out = {"map": v, "map_50": v, "map_75": v,
+                   "precision": v, "recall": v, "ap_per_class": {}}
+            for name, _, _ in AREA_RANGES:
+                if name != "all":
+                    out[f"map_{name}"] = v
+            return out
         scores = np.concatenate([r[0] for r in self._records])
         tp = np.concatenate([r[1] for r in self._records])    # (nd, nt, nr)
         ig = np.concatenate([r[2] for r in self._records])

@@ -211,3 +211,21 @@ def unletterbox_boxes(boxes, ratio, dwdh, orig_hw):
     x2 = jnp.clip((boxes[..., 2] - dw) / rw, 0, w0)
     y2 = jnp.clip((boxes[..., 3] - dh) / rh, 0, h0)
     return jnp.stack([x1, y1, x2, y2], axis=-1)
+
+
+def unletterbox_boxes_np(boxes, ratio, dwdh, orig_hw):
+    """Host-side numpy twin of unletterbox_boxes (same convention as
+    xywhn_to_xyxy_np above): per-request response paths must not pay
+    per-box device dispatches — over a remote device link each tiny jnp op
+    is a full round-trip (serving/server.py answers every request with
+    one of these)."""
+    import numpy as np
+    rw, rh = (ratio, ratio) if not hasattr(ratio, "__len__") else ratio
+    dw, dh = dwdh
+    h0, w0 = orig_hw
+    b = np.asarray(boxes, np.float32)
+    x1 = np.clip((b[..., 0] - dw) / rw, 0, w0)
+    y1 = np.clip((b[..., 1] - dh) / rh, 0, h0)
+    x2 = np.clip((b[..., 2] - dw) / rw, 0, w0)
+    y2 = np.clip((b[..., 3] - dh) / rh, 0, h0)
+    return np.stack([x1, y1, x2, y2], axis=-1)

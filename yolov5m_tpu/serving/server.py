@@ -57,9 +57,15 @@ _STOP = object()  # batcher shutdown sentinel (distinct from any request)
 
 
 def _read_exact(sock: socket.socket, n: int) -> Optional[bytes]:
+    """None on EOF or any socket error — an abrupt client reset (RST) is
+    routine in production and must read as a clean disconnect, not an
+    unhandled ConnectionResetError killing the reader thread."""
     buf = b""
     while len(buf) < n:
-        chunk = sock.recv(n - len(buf))
+        try:
+            chunk = sock.recv(n - len(buf))
+        except OSError:
+            return None
         if not chunk:
             return None
         buf += chunk
@@ -201,7 +207,14 @@ class DetectionServer:
 
         self._infer = infer
         self._jnp = jnp
-        self._queue: "queue.Queue[Optional[_Pending]]" = queue.Queue()
+        # bounded: each queued request holds a decoded letterboxed frame
+        # (~1.2 MB at 640²), and the client API explicitly supports
+        # pipelining (send() without recv()) — an unbounded queue lets a
+        # few fast clients OOM the host. When full, reader threads block
+        # in _enqueue, which stops them reading their sockets: natural
+        # per-connection TCP backpressure instead of dropped requests.
+        self._queue: "queue.Queue[Optional[_Pending]]" = queue.Queue(
+            maxsize=max(4 * batch_size, 64))
         self._stop = threading.Event()
         self._threads: List[threading.Thread] = []
         self._listener: Optional[socket.socket] = None
@@ -245,9 +258,24 @@ class DetectionServer:
                 self._listener.close()
             except OSError:
                 pass
-        self._queue.put(_STOP)  # wake the batcher
+        try:
+            self._queue.put_nowait(_STOP)  # wake an idle batcher
+        except queue.Full:
+            pass                           # not idle: it checks the flag
         for t in self._threads:
             t.join(timeout=5)
+        # fail anything still queued: those clients would otherwise hang
+        # in recv() until their socket timeout, and a later start() used
+        # to discard them silently
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if item is _STOP or item is None:
+                continue
+            self._send(item.conn, item.wlock,
+                       {"ok": False, "error": "server stopped"})
 
     def __enter__(self):
         return self.start()
@@ -262,14 +290,34 @@ class DetectionServer:
     # -- host data plane ------------------------------------------------
 
     def _accept_loop(self) -> None:
+        import time
         while not self._stop.is_set():
             try:
                 conn, _ = self._listener.accept()
             except OSError:
-                return  # listener closed
+                if self._stop.is_set():
+                    return  # listener closed by stop()
+                # transient accept failure (EMFILE under a connection
+                # burst, ECONNABORTED): a permanent exit here would leave
+                # a healthy-looking server that refuses all NEW clients
+                # forever — back off briefly and keep accepting
+                time.sleep(0.05)
+                continue
             t = threading.Thread(target=self._reader_loop, args=(conn,),
                                  daemon=True)
             t.start()
+
+    def _enqueue(self, item: "_Pending") -> bool:
+        """Blocking put that stays responsive to stop(): when the bounded
+        queue is full the reader simply stops reading its socket (TCP
+        backpressure). Returns False if the server stopped meanwhile."""
+        while not self._stop.is_set():
+            try:
+                self._queue.put(item, timeout=0.25)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def _reader_loop(self, conn: socket.socket) -> None:
         """Read frames, decode + letterbox inline (native decode drops the
@@ -293,12 +341,16 @@ class DetectionServer:
                     item.error = f"frame too large ({n} bytes)"
                     left = n
                     while left > 0:
-                        chunk = conn.recv(min(left, 1 << 20))
+                        try:
+                            chunk = conn.recv(min(left, 1 << 20))
+                        except OSError:
+                            chunk = b""   # reset mid-drain == disconnect
                         if not chunk:
-                            self._queue.put(item)
+                            self._enqueue(item)
                             return
                         left -= len(chunk)
-                    self._queue.put(item)
+                    if not self._enqueue(item):
+                        return
                     continue
                 data = _read_exact(conn, n)
                 if data is None:
@@ -312,7 +364,8 @@ class DetectionServer:
                     boxed, ratio, (dw, dh) = letterbox(img, (s, s))
                     item.image = boxed
                     item.geom = (ratio, (dw, dh), img.shape[:2])
-                self._queue.put(item)
+                if not self._enqueue(item):
+                    return
 
     # -- device data plane ----------------------------------------------
 
@@ -416,12 +469,17 @@ class DetectionServer:
             self._send(item.conn, item.wlock, item.payload)
 
     def _to_payload(self, rows: np.ndarray, geom) -> dict:
-        from yolov5m_tpu.ops.boxes import unletterbox_boxes
+        # numpy twin on purpose: this runs per REQUEST in the single
+        # batcher thread, and the jnp version costs several device
+        # round-trips per call (~4ms each over a remote link) — at bs=128
+        # that would serialize seconds of dispatch into every response
+        # cycle and starve the depth-1 pipeline
+        from yolov5m_tpu.ops.boxes import unletterbox_boxes_np
         ratio, (dw, dh), orig_hw = geom
         dets = []
         if len(rows):
-            boxes = np.asarray(unletterbox_boxes(rows[:, 2:6].copy(), ratio,
-                                                 (dw, dh), orig_hw))
+            boxes = unletterbox_boxes_np(rows[:, 2:6], ratio,
+                                         (dw, dh), orig_hw)
             for r, b in zip(rows, boxes):
                 cid = int(r[0])
                 label = (self.labels[cid]
