@@ -21,10 +21,11 @@ from flax import traverse_util
 from yolov5m_tpu.models.blocks import BN_EPS
 
 
-def fold_batchnorm(variables) -> dict:
-    """Fold BN into conv weights. Returns {'params': ...} for a fused model
-    (YOLOv5 with fused=True): conv gets a bias, bn entries are dropped.
-    """
+def _fold(variables, sqrt_scale) -> dict:
+    """One fold implementation for both the host and the traced path —
+    `sqrt_scale(scale, var) -> s` is the only part that differs (host
+    numpy upcasts var to f64 for the sqrt; the device path stays f32,
+    jax's default x64-disabled precision)."""
     params = traverse_util.flatten_dict(variables["params"])
     stats = traverse_util.flatten_dict(variables["batch_stats"])
 
@@ -39,17 +40,27 @@ def fold_batchnorm(variables) -> dict:
             bn_bias = params[parent + ("bn", "bias")]
             mean = stats[parent + ("bn", "mean")]
             var = stats[parent + ("bn", "var")]
-            s = bn_scale / np.sqrt(np.asarray(var, np.float64) + BN_EPS)
-            s = np.asarray(s, np.float32)
-            fused[path] = np.asarray(value) * s                 # HWIO: O last
-            fused[parent + ("conv", "bias")] = np.asarray(
-                bn_bias - np.asarray(mean) * s, np.float32)
+            s = sqrt_scale(bn_scale, var)
+            fused[path] = value * s                             # HWIO: O last
+            fused[parent + ("conv", "bias")] = bn_bias - mean * s
         elif path[-2] == "bn":
             continue                                            # dropped
         else:                                                   # head bias etc.
             fused[path] = value
 
     return {"params": traverse_util.unflatten_dict(fused)}
+
+
+def fold_batchnorm(variables) -> dict:
+    """Fold BN into conv weights. Returns {'params': ...} for a fused model
+    (YOLOv5 with fused=True): conv gets a bias, bn entries are dropped.
+    Host path: numpy, f64 sqrt for the per-channel scale.
+    """
+    def sqrt_scale(scale, var):
+        s = np.asarray(scale) / np.sqrt(np.asarray(var, np.float64) + BN_EPS)
+        return np.asarray(s, np.float32)
+
+    return _fold(jax.tree.map(np.asarray, variables), sqrt_scale)
 
 
 def fold_batchnorm_device(variables) -> dict:
@@ -60,27 +71,8 @@ def fold_batchnorm_device(variables) -> dict:
     """
     import jax.numpy as jnp
 
-    params = traverse_util.flatten_dict(variables["params"])
-    stats = traverse_util.flatten_dict(variables["batch_stats"])
+    def sqrt_scale(scale, var):
+        return (scale / jnp.sqrt(var.astype(jnp.float32) + BN_EPS)
+                ).astype(jnp.float32)
 
-    fused = {}
-    for path, value in params.items():
-        if path[-2:] == ("conv", "kernel"):
-            parent = path[:-2]
-            bn_scale = params.get(parent + ("bn", "scale"))
-            if bn_scale is None:
-                fused[path] = value
-                continue
-            bn_bias = params[parent + ("bn", "bias")]
-            mean = stats[parent + ("bn", "mean")]
-            var = stats[parent + ("bn", "var")]
-            s = (bn_scale / jnp.sqrt(var.astype(jnp.float32) + BN_EPS)
-                 ).astype(jnp.float32)
-            fused[path] = value * s                             # HWIO: O last
-            fused[parent + ("conv", "bias")] = bn_bias - mean * s
-        elif path[-2] == "bn":
-            continue
-        else:
-            fused[path] = value
-
-    return {"params": traverse_util.unflatten_dict(fused)}
+    return _fold(variables, sqrt_scale)

@@ -88,36 +88,22 @@ def quantize_fused_params(fused_variables,
 def quantize_chain_params(fused_variables,
                           absmax: Dict[Tuple[str, ...], float]) -> dict:
     """fused params + calibration → int8 ACTIVATION-CHAIN params
-    (blocks.CBL.chain): per-CBL {w_q, s_w, bias, s_in, s_out} where s_out is
-    the calibrated OUTPUT scale the epilogue requantizes to, plus per-
-    Bottleneck {s_res} for the post-residual-sum scale. Head convs copy
-    through unquantized (first/last-layer precision guard)."""
-    params = traverse_util.flatten_dict(fused_variables["params"])
-    q = {}
-    for path, value in params.items():
-        if path[-2:] == ("conv", "kernel") and path[0] != "head":
-            parent = path[:-2]
-            w = np.asarray(value, np.float32)                    # HWIO
-            s_w = np.max(np.abs(w), axis=(0, 1, 2)) / 127.0
-            s_w = np.maximum(s_w, 1e-12).astype(np.float32)
-            q[parent + ("w_q",)] = np.clip(
-                np.round(w / s_w), -127, 127).astype(np.int8)
-            q[parent + ("s_w",)] = s_w
-            q[parent + ("bias",)] = np.asarray(
-                params[parent + ("conv", "bias")], np.float32)
-            am_in = absmax.get(parent + ("in_absmax",))
-            am_out = absmax.get(parent + ("out_absmax",))
-            assert am_in is not None and am_out is not None, \
-                f"missing calibration absmax for {parent}"
-            q[parent + ("s_in",)] = np.float32(max(am_in, 1e-12) / 127.0)
-            q[parent + ("s_out",)] = np.float32(max(am_out, 1e-12) / 127.0)
-        elif path[-2] == "conv" and path[0] != "head":
-            continue                                             # bias: folded above
-        else:
-            q[path] = value                                      # head convs
+    (blocks.CBL.chain): the fused scheme's per-CBL {w_q, s_w, bias, s_in}
+    (delegated to quantize_fused_params so the shared math — scale floor,
+    rounding, head-skip — lives once) plus s_out, the calibrated OUTPUT
+    scale the epilogue requantizes to, and per-Bottleneck {s_res} for the
+    post-residual-sum scale. Head convs copy through unquantized
+    (first/last-layer precision guard)."""
+    q = traverse_util.flatten_dict(
+        quantize_fused_params(fused_variables, absmax))
     for path, am in absmax.items():
-        if path[-1] == "res_absmax":
+        if path[-1] == "out_absmax" and path[:-1] + ("s_in",) in q:
+            q[path[:-1] + ("s_out",)] = np.float32(max(am, 1e-12) / 127.0)
+        elif path[-1] == "res_absmax":
             q[path[:-1] + ("s_res",)] = np.float32(max(am, 1e-12) / 127.0)
+    missing = [p[:-1] for p in q
+               if p[-1:] == ("s_in",) and p[:-1] + ("s_out",) not in q]
+    assert not missing, f"missing out_absmax calibration for {missing[:3]}"
     return traverse_util.unflatten_dict(q)
 
 

@@ -24,19 +24,29 @@ from flax import serialization
 CKPT_RE = re.compile(r"checkpoint_epoch_(\d+)\.msgpack$")
 
 
-def save_checkpoint(state: Any, folder_path: str, filename: str, epoch: int) -> str:
-    """Serialize a pytree to SAVED_CHECKPOINT-style layout. Returns the path."""
-    path = os.path.join(folder_path, filename)
-    os.makedirs(path, exist_ok=True)
-    # pull to host before serializing (works for sharded/replicated arrays)
+def _serialize(state: Any) -> bytes:
+    """Fetch to host + msgpack-encode (works for sharded/replicated arrays).
+    Expensive — hundreds of MB and ~1400 per-leaf fetches over a tunneled
+    transport — so callers that write the same state to several paths must
+    serialize ONCE and reuse the blob (AsyncCheckpointer.save does)."""
     host_state = jax.tree.map(np.asarray, state)
-    blob = serialization.to_bytes(host_state)
-    out = os.path.join(path, f"checkpoint_epoch_{epoch}.msgpack")
+    return serialization.to_bytes(host_state)
+
+
+def _write_atomic(out: str, blob: bytes) -> str:
     tmp = out + ".tmp"
     with open(tmp, "wb") as f:
         f.write(blob)
     os.replace(tmp, out)  # atomic: no torn checkpoints on preemption
     return out
+
+
+def save_checkpoint(state: Any, folder_path: str, filename: str, epoch: int) -> str:
+    """Serialize a pytree to SAVED_CHECKPOINT-style layout. Returns the path."""
+    path = os.path.join(folder_path, filename)
+    os.makedirs(path, exist_ok=True)
+    return _write_atomic(os.path.join(path, f"checkpoint_epoch_{epoch}.msgpack"),
+                         _serialize(state))
 
 
 def load_checkpoint(template: Any, folder_path: str, filename: str,
@@ -77,6 +87,12 @@ def save_best(state: Any, folder_path: str, filename: str, epoch: int,
     equivalent (the reference keeps every epoch only)."""
     run_dir = os.path.join(folder_path, filename)
     os.makedirs(run_dir, exist_ok=True)
+    if not _best_improves(run_dir, metric):
+        return None
+    return _commit_best(run_dir, _serialize(state), epoch, metric)
+
+
+def _best_improves(run_dir: str, metric: float) -> bool:
     marker = os.path.join(run_dir, "best.txt")
     prev = -float("inf")
     if os.path.isfile(marker):
@@ -84,14 +100,12 @@ def save_best(state: Any, folder_path: str, filename: str, epoch: int,
             prev = float(open(marker).read().split()[1])
         except (IndexError, ValueError):
             pass
-    if metric <= prev:
-        return None
-    host_state = jax.tree.map(np.asarray, state)
-    out = os.path.join(run_dir, "checkpoint_best.msgpack")
-    tmp = out + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(serialization.to_bytes(host_state))
-    os.replace(tmp, out)
+    return metric > prev
+
+
+def _commit_best(run_dir: str, blob: bytes, epoch: int, metric: float) -> str:
+    out = _write_atomic(os.path.join(run_dir, "checkpoint_best.msgpack"), blob)
+    marker = os.path.join(run_dir, "best.txt")
     with open(marker + ".tmp", "w") as f:
         f.write(f"{epoch} {metric:.6f}\n")
     os.replace(marker + ".tmp", marker)
@@ -141,13 +155,19 @@ class AsyncCheckpointer:
 
         def job():
             try:
-                save_checkpoint(snap, folder_path, filename, epoch)
-                if best_metric is not None:
-                    best = save_best(snap, folder_path, filename, epoch,
-                                     best_metric)
-                    if best:
-                        print(f"=> New best mAP50 {best_metric:.4f} -> {best}",
-                              flush=True)
+                # serialize ONCE (the expensive device fetch + msgpack of
+                # hundreds of MB) and write the same blob to both paths —
+                # the epoch file and, when improved, checkpoint_best
+                run_dir = os.path.join(folder_path, filename)
+                os.makedirs(run_dir, exist_ok=True)
+                blob = _serialize(snap)
+                _write_atomic(os.path.join(
+                    run_dir, f"checkpoint_epoch_{epoch}.msgpack"), blob)
+                if best_metric is not None and _best_improves(run_dir,
+                                                              best_metric):
+                    best = _commit_best(run_dir, blob, epoch, best_metric)
+                    print(f"=> New best mAP50 {best_metric:.4f} -> {best}",
+                          flush=True)
             except BaseException as e:  # surfaced by the next wait()/save()
                 self._err = e
 

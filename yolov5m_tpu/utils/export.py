@@ -38,7 +38,11 @@ def export_stablehlo(model, variables, path: str,
         def fn(image):
             preds = model.apply(variables, image, train=False)
             rows = decode_predictions(preds, anchors)
-            return batched_nms(rows, iou, conf, 300, 1024)
+            # backend pinned to the pure-XLA fixpoint: "auto" on a TPU
+            # host would pick pallas and bake a tpu_custom_call into an
+            # artifact whose whole point is running on ANY StableHLO
+            # consumer (IREE, CPU, GPU)
+            return batched_nms(rows, iou, conf, 300, 1024, backend="xla")
     else:
         def fn(image):
             return tuple(model.apply(variables, image, train=False))

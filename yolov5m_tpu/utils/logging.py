@@ -22,9 +22,14 @@ class CSVLogger:
         os.makedirs(self.dir, exist_ok=True)
         self.loss_path = os.path.join(self.dir, "loss.csv")
         self.eval_path = os.path.join(self.dir, "eval.csv")
-        if not resume:
-            self._write_header(self.loss_path, LOSS_HEADER)
-            self._write_header(self.eval_path, EVAL_HEADER)
+        # resume appends to EXISTING logs; a missing file still gets its
+        # header (e.g. the first run used --nosavelogs, the resume doesn't
+        # — appending headerless data rows would silently shift every
+        # column for any reader that treats row 0 as the header)
+        for path, header in ((self.loss_path, LOSS_HEADER),
+                             (self.eval_path, EVAL_HEADER)):
+            if not resume or not os.path.isfile(path):
+                self._write_header(path, header)
 
     @staticmethod
     def _write_header(path: str, header: Sequence[str]) -> None:

@@ -21,8 +21,14 @@ import numpy as np
 
 
 def seed_everything(seed: int = 42):
-    """Seed host RNGs and return a jax PRNGKey for device-side randomness."""
-    os.environ["PYTHONHASHSEED"] = str(seed)
+    """Seed host RNGs and return a jax PRNGKey for device-side randomness.
+
+    NOTE: str/bytes hash randomization CANNOT be seeded here — the
+    interpreter reads PYTHONHASHSEED once at startup, so setting it at
+    runtime is a no-op (the reference's seed_everything, utils/utils.py:182,
+    has the same dead assignment; we drop it). Nothing in this codebase
+    depends on hash ordering; if a caller's does, export PYTHONHASHSEED in
+    the launching environment."""
     random.seed(seed)
     np.random.seed(seed)
     import jax

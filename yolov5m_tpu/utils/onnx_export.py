@@ -114,6 +114,13 @@ class _GraphBuilder:
     # -------- composite blocks (same wiring as models/blocks.py) --------
 
     def cbl(self, prefix, x, k, s, pd):
+        # k is VALIDATION, not control: kernel_shape comes from the weight
+        # array, so a k that disagrees with the variables is a wiring bug
+        # that would otherwise export a silently-wrong graph
+        kern = self.p[prefix + ("conv", "kernel")]
+        assert kern.shape[0] == k, (
+            f"{'/'.join(prefix)}: weight kernel {kern.shape} vs expected "
+            f"k={k} — variables don't match the architecture being emitted")
         return self.conv(prefix, x, s, pd)
 
     def bottleneck(self, prefix, x):
@@ -168,6 +175,12 @@ def export_onnx(variables, path: str, nc: int = 80, first_out: int = 48,
 
     fused = fold_batchnorm(variables) if "batch_stats" in variables else variables
     flat = traverse_util.flatten_dict(fused["params"])
+    # first_out is VALIDATION (channel widths come entirely from the
+    # weights): a mismatch means the caller is exporting the wrong model
+    stem = flat[("backbone_0", "conv", "kernel")]
+    assert stem.shape[-1] == first_out, (
+        f"variables have first_out={stem.shape[-1]} but caller passed "
+        f"{first_out}")
     g = _GraphBuilder(flat)
 
     x = "images"

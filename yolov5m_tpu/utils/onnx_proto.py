@@ -133,10 +133,15 @@ def node(op_type: str, inputs: Sequence[str], outputs: Sequence[str],
 def value_info(name: str, shape: Sequence[Optional[int]],
                elem_type: int = FLOAT) -> bytes:
     """ValueInfoProto: name=1, type=2 (TypeProto.tensor_type=1:
-    {elem_type=1, shape=2: TensorShapeProto.dim=1 {dim_value=1}})."""
+    {elem_type=1, shape=2: TensorShapeProto.dim=1 {dim_value=1 |
+    dim_param=2}}). None dims become a symbolic dim_param (the standard
+    ONNX dynamic-batch idiom the Optional hint invites)."""
     dims = b""
-    for d in shape:
-        dims += f_bytes(1, f_varint(1, int(d)))        # Dimension.dim_value
+    for i, d in enumerate(shape):
+        if d is None:                                  # Dimension.dim_param
+            dims += f_bytes(1, f_str(2, f"dyn_{i}"))
+        else:
+            dims += f_bytes(1, f_varint(1, int(d)))    # Dimension.dim_value
     shape_msg = dims
     tensor_type = f_varint(1, elem_type) + f_bytes(2, shape_msg)
     type_proto = f_bytes(1, tensor_type)
