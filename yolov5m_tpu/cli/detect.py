@@ -62,11 +62,8 @@ def load_variables(opt, model, jnp):
     from yolov5m_tpu.models.weights import convert_torch_state_dict
     from flax import serialization
 
-    template = model.init(jax.random.PRNGKey(0),
-                          jnp.zeros((1, opt.image_size, opt.image_size, 3)))
-    if opt.weights:
-        sd = dict(np.load(opt.weights))
-        return convert_torch_state_dict(sd, template)
+    # --checkpoint needs NO template (msgpack_restore is structure-free),
+    # so check it first: the init below is the expensive path
     if opt.checkpoint:
         with open(opt.checkpoint, "rb") as f:
             blob = f.read()
@@ -76,6 +73,16 @@ def load_variables(opt, model, jnp):
             params = state.get("ema_params") or state["params"]
             return {"params": params, "batch_stats": state["batch_stats"]}
         raise SystemExit("unrecognized checkpoint structure")
+
+    # jitted init: ONE dispatch instead of hundreds of eager per-op calls
+    # — an eager flax init over a tunneled relay measured 1734s in a
+    # degraded window (CLAUDE.md session-6 / bench.py postmortem)
+    template = jax.jit(lambda r: model.init(
+        r, jnp.zeros((1, opt.image_size, opt.image_size, 3))))(
+            jax.random.PRNGKey(0))
+    if opt.weights:
+        sd = dict(np.load(opt.weights))
+        return convert_torch_state_dict(sd, jax.device_get(template))
     print("WARNING: no --checkpoint/--weights given; using random init")
     return template
 
@@ -134,9 +141,12 @@ def main(opt):
     if img_path is None:
         import random
         assert getattr(opt, "img_dir", None), "give --img or --img_dir"
-        img_path = os.path.join(opt.img_dir, random.choice(sorted(
+        candidates = sorted(
             f for f in os.listdir(opt.img_dir)
-            if f.lower().endswith((".jpg", ".jpeg", ".png")))))
+            if f.lower().endswith((".jpg", ".jpeg", ".png")))
+        if not candidates:
+            raise SystemExit(f"no images in {opt.img_dir}")
+        img_path = os.path.join(opt.img_dir, random.choice(candidates))
         print(f"random image: {img_path}")
     opt.img = img_path
 
@@ -169,10 +179,10 @@ def main(opt):
     # original-image pixels, like the reference's rescale_bboxes contract
     # (reference utils/bboxes_utils.py:116-126)
     if len(rows):
-        from yolov5m_tpu.ops.boxes import unletterbox_boxes
+        from yolov5m_tpu.ops.boxes import unletterbox_boxes_np
         rows = rows.copy()
-        rows[:, 2:6] = np.asarray(unletterbox_boxes(
-            rows[:, 2:6], ratio, (dw, dh), raw.shape[:2]))
+        rows[:, 2:6] = unletterbox_boxes_np(
+            rows[:, 2:6], ratio, (dw, dh), raw.shape[:2])
     print(f"{len(rows)} detections (original-image coords, "
           f"{raw.shape[1]}x{raw.shape[0]}):")
     for r in rows:
@@ -217,7 +227,7 @@ def _detect_dir(opt, model, variables, anchors_norm, cfg, labels):
     import jax.numpy as jnp
 
     from yolov5m_tpu.data.native import letterbox, load_image_rgb
-    from yolov5m_tpu.ops.boxes import unletterbox_boxes
+    from yolov5m_tpu.ops.boxes import unletterbox_boxes_np
     from yolov5m_tpu.ops.postprocess import fused_detect
     from yolov5m_tpu.utils.plotting import plot_image
 
@@ -261,8 +271,10 @@ def _detect_dir(opt, model, variables, anchors_norm, cfg, labels):
             rows = det[j][valid[j]].copy()
             ratio, (dw, dh) = geoms[j]
             if len(rows):
-                rows[:, 2:6] = np.asarray(unletterbox_boxes(
-                    rows[:, 2:6], ratio, (dw, dh), raws[j].shape[:2]))
+                # numpy twin: the jnp version costs ~10 eager device
+                # dispatches per image on this host-side loop
+                rows[:, 2:6] = unletterbox_boxes_np(
+                    rows[:, 2:6], ratio, (dw, dh), raws[j].shape[:2])
             all_results[name] = [
                 {"class": labels[int(r[0])] if int(r[0]) < len(labels)
                  else str(int(r[0])),

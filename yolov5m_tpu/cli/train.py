@@ -201,7 +201,6 @@ def main(opt):
     from yolov5m_tpu.utils import (
         CSVLogger, latest_epoch, load_checkpoint, next_run_name)
     from yolov5m_tpu.utils.checkpoint import AsyncCheckpointer
-    from yolov5m_tpu.utils.plotting import save_prediction_images
 
     from yolov5m_tpu.models.yolo import FAMILY
 
@@ -282,10 +281,30 @@ def main(opt):
             ms_sizes = default_multiscale_sizes(opt.image_size)
         else:
             ms_sizes = [int(s) for s in ms_opt.split(",")]
+            bad = [s for s in ms_sizes if s % 32]
+            # fail at parse time, not hours in when the offending bucket is
+            # first drawn: a non-/32 size makes the FPN upsample mismatch
+            # its backbone tap (e.g. 600px: 75 at /8 vs 38*2 at /16) and
+            # dies in an opaque trace-time shape error
+            if bad:
+                raise SystemExit(
+                    f"--multi_scale sizes must be multiples of 32 "
+                    f"(stride of the deepest scale); got {bad}")
+    if opt.image_size % 32:
+        raise SystemExit(f"--image_size {opt.image_size} must be a "
+                         "multiple of 32")
     if ms_sizes:
         print(f"==> multi-scale buckets: {ms_sizes}")
     device_mosaic = getattr(opt, "device_mosaic", False)
     device_augment = getattr(opt, "device_augment", False)
+    if opt.rect and (device_mosaic or device_augment):
+        # the device augment program only runs on SQUARE batches (the jit
+        # guard below skips non-square shapes), so under --rect it would
+        # silently never fire — while the host loader had already stripped
+        # the augs it was supposed to replace. Keep the augs on the host.
+        print("==> --rect batches are non-square: device mosaic/augment "
+              "don't apply; keeping host-side augmentation")
+        device_mosaic = device_augment = False
     if opt.data == "synth":
         # on-device structured synthetic stream: the full orchestration
         # (epoch loop -> eval -> checkpoint -> resume) with zero host I/O.
@@ -435,13 +454,23 @@ def main(opt):
         print(f"==> tensor-parallel training over a {n_data}x{n_tp} "
               "(data, model) mesh")
     elif n_pp > 1:
-        from yolov5m_tpu.parallel import make_pp_mesh, make_pp_train_step
+        from yolov5m_tpu.parallel import (
+            make_dp_pp_mesh, make_pp_mesh, make_pp_train_step)
         assert not cfg.flat_optimizer, "--pp does not support --flat_opt"
         pp_m = getattr(opt, "pp_micro", 0) or n_pp
-        assert opt.bs % pp_m == 0, \
-            f"--pp_micro {pp_m} must divide --bs {opt.bs}"
-        pp_mb = opt.bs // pp_m
-        pp_mesh = make_pp_mesh(n_pipe=n_pp)
+        # --dp composes: D data replicas each run the n_pp-stage pipeline
+        # on their batch shard (make_dp_pp_mesh). Before this wiring --dp
+        # was silently IGNORED next to --pp — chips idled with no warning.
+        pp_d = opt.dp if opt.dp and opt.dp > 1 else 1
+        assert opt.bs % (pp_m * pp_d) == 0, \
+            f"--bs {opt.bs} must be divisible by pp_micro*dp = {pp_m}*{pp_d}"
+        pp_mb = opt.bs // (pp_m * pp_d)
+        if pp_d > 1:
+            pp_mesh = make_dp_pp_mesh(n_data=pp_d, n_pipe=n_pp)
+            pp_axis = "data"
+        else:
+            pp_mesh = make_pp_mesh(n_pipe=n_pp)
+            pp_axis = None
         pp_steps = {}  # one compiled pipeline per image shape (multi-scale)
 
         def step_fn(state, image, labels, mask,
@@ -450,11 +479,14 @@ def main(opt):
             if hw not in pp_steps:
                 pp_steps[hw] = make_pp_train_step(
                     _model, _loss, _optim, pp_mesh, pp_mb, pp_m,
-                    image_hw=hw)
+                    image_hw=hw, data_axis=pp_axis)
             return pp_steps[hw](state, image, labels, mask)
 
         put = lambda b: {k: jnp.asarray(v) for k, v in b.items()}  # noqa: E731
-        print(f"==> pipeline-parallel training: {n_pp} stages, "
+        print(f"==> pipeline-parallel training: {pp_d}x{n_pp} (data, pipe), "
+              f"{pp_m} micro-batches of {pp_mb} per replica per step"
+              if pp_d > 1 else
+              f"==> pipeline-parallel training: {n_pp} stages, "
               f"{pp_m} micro-batches of {pp_mb} per step")
     elif n_dev > 1:
         mesh = make_mesh(n_dev)
@@ -562,6 +594,15 @@ def main(opt):
                                         val_loader, filename, epoch, labels,
                                         decode_predictions, batched_nms, jnp)
 
+            if opt.only_eval:
+                # one eval pass, no checkpoint: the reference re-enters the
+                # epoch loop N times on --only_eval (train.py:118), re-
+                # evaluating identical weights and re-saving hundreds of
+                # identical checkpoints that then shift resume's epoch
+                # numbering — a bug, not a behavior to reproduce
+                print("==> --only_eval: done after one evaluation pass")
+                break
+
             if not opt.nosavemodel:
                 # async: on-device snapshot now, fetch+serialize+write on a
                 # background thread while the next epoch trains; errors surface
@@ -575,6 +616,10 @@ def main(opt):
         # epoch's in-flight async checkpoint write (the daemon thread
         # dies with the process; join it before unwinding)
         checkpointer.wait()
+        # the viz jit closure captures the model + traced constants; drop
+        # it with the run so repeated main() calls (test suite, notebooks)
+        # don't accumulate one per model instance
+        _dump_prediction_images._viz_cache.pop(id(model), None)
 
 
 def _dump_prediction_images(model, variables, anchors_norm, cfg, val_loader,
