@@ -62,8 +62,20 @@ def load_variables(opt, model, jnp):
     from yolov5m_tpu.models.weights import convert_torch_state_dict
     from flax import serialization
 
-    # --checkpoint needs NO template (msgpack_restore is structure-free),
-    # so check it first: the init below is the expensive path
+    def init_template():
+        # jitted init: ONE dispatch instead of hundreds of eager per-op
+        # calls — an eager flax init over a tunneled relay measured 1734s
+        # in a degraded window (CLAUDE.md session-6 / bench.py postmortem)
+        return jax.jit(lambda r: model.init(
+            r, jnp.zeros((1, opt.image_size, opt.image_size, 3))))(
+                jax.random.PRNGKey(0))
+
+    # precedence: --weights wins over --checkpoint (unchanged CLI
+    # contract); --checkpoint alone needs NO template (msgpack_restore is
+    # structure-free), so only the weights/random paths pay the init
+    if opt.weights:
+        sd = dict(np.load(opt.weights))
+        return convert_torch_state_dict(sd, jax.device_get(init_template()))
     if opt.checkpoint:
         with open(opt.checkpoint, "rb") as f:
             blob = f.read()
@@ -73,18 +85,8 @@ def load_variables(opt, model, jnp):
             params = state.get("ema_params") or state["params"]
             return {"params": params, "batch_stats": state["batch_stats"]}
         raise SystemExit("unrecognized checkpoint structure")
-
-    # jitted init: ONE dispatch instead of hundreds of eager per-op calls
-    # — an eager flax init over a tunneled relay measured 1734s in a
-    # degraded window (CLAUDE.md session-6 / bench.py postmortem)
-    template = jax.jit(lambda r: model.init(
-        r, jnp.zeros((1, opt.image_size, opt.image_size, 3))))(
-            jax.random.PRNGKey(0))
-    if opt.weights:
-        sd = dict(np.load(opt.weights))
-        return convert_torch_state_dict(sd, jax.device_get(template))
     print("WARNING: no --checkpoint/--weights given; using random init")
-    return template
+    return init_template()
 
 
 def main(opt):

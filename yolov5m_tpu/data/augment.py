@@ -145,13 +145,14 @@ class TrainAugment:
         new = np.stack([rot[..., 0].min(1), rot[..., 1].min(1),
                         rot[..., 0].max(1), rot[..., 1].max(1)], 1)
         new = new / np.array([w, h, w, h])
-        # visibility denominator = PRE-rotation box area (albumentations'
-        # min_visibility semantics, reference config.py:46): the rotated
-        # AABB inflates area by up to (cos+sin)^2 ≈ 1.64x at 20°, which
-        # would over-drop border boxes that are actually >40% visible
-        pre_area = (np.maximum(corners[:, 2] - corners[:, 0], 0)
-                    * np.maximum(corners[:, 3] - corners[:, 1], 0))
-        cls, new = _clip_and_filter(cls, new, pre_area)
+        # visibility denominator = the POST-rotation (unclipped) AABB area:
+        # albumentations' filter_bboxes compares the clipped box against the
+        # TRANSFORMED box (reference config.py:46 min_visibility semantics),
+        # and the device twin (ops/augment_device.py _rotate_labels) divides
+        # by the same rotated-hull area — host and device must keep
+        # identical boxes (pinned by tests/test_augment_device.py)
+        area = np.maximum(new[:, 2] - new[:, 0], 0) * np.maximum(new[:, 3] - new[:, 1], 0)
+        cls, new = _clip_and_filter(cls, new, area)
         return img, cls, new
 
     @staticmethod

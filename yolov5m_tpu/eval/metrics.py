@@ -167,17 +167,24 @@ class MeanAveragePrecision:
 
     def compute(self) -> Dict[str, float]:
         if not self._records:
-            # full key set either way (consumers index "precision" etc.);
-            # zero detections against EXISTING ground truth is a true mAP
-            # of 0.0 (early-epoch models), while -1.0 means "no data at
-            # all" (torchmetrics' undefined sentinel, which the reference's
-            # eval surfaces — validation_utils.py:128)
+            # full key set either way (consumers index "precision" etc.),
+            # with the SAME sentinel conventions as the populated path:
+            # zero detections against EXISTING ground truth is a true 0.0
+            # (early-epoch models; precision/recall 0.0 matches the
+            # populated path's no-detections-for-class case), while -1.0
+            # means "no data for this statistic" (torchmetrics' undefined
+            # sentinel, which the reference's eval surfaces —
+            # validation_utils.py:128). Per-area keys check THEIR OWN
+            # range's GT so an all-small dataset reads map_large = -1.0
+            # here exactly as it would one epoch later.
             v = 0.0 if self._gt_counts else -1.0
             out = {"map": v, "map_50": v, "map_75": v,
                    "precision": v, "recall": v, "ap_per_class": {}}
-            for name, _, _ in AREA_RANGES:
+            for r, (name, _, _) in enumerate(AREA_RANGES):
                 if name != "all":
-                    out[f"map_{name}"] = v
+                    has_gt = any(k[1] == r and n > 0
+                                 for k, n in self._gt_counts.items())
+                    out[f"map_{name}"] = 0.0 if has_gt else -1.0
             return out
         scores = np.concatenate([r[0] for r in self._records])
         tp = np.concatenate([r[1] for r in self._records])    # (nd, nt, nr)

@@ -262,20 +262,35 @@ class DetectionServer:
             self._queue.put_nowait(_STOP)  # wake an idle batcher
         except queue.Full:
             pass                           # not idle: it checks the flag
+        import time
         for t in self._threads:
             t.join(timeout=5)
+        if any(t.is_alive() for t in self._threads):
+            # a degraded device can stall the batcher past the join
+            # timeout; draining NOW would answer queued requests out of
+            # order with the batcher's own late replies (the protocol
+            # correlates responses purely by order) — leave the queue to
+            # the still-live batcher instead
+            print("WARNING: batcher still busy at stop(); queued requests "
+                  "left to it", flush=True)
+            return
         # fail anything still queued: those clients would otherwise hang
         # in recv() until their socket timeout, and a later start() used
-        # to discard them silently
-        while True:
-            try:
-                item = self._queue.get_nowait()
-            except queue.Empty:
-                break
-            if item is _STOP or item is None:
-                continue
-            self._send(item.conn, item.wlock,
-                       {"ok": False, "error": "server stopped"})
+        # to discard them silently. Two passes with a grace longer than
+        # _enqueue's put timeout close the race where a reader blocked in
+        # put() lands an item just after the first pass.
+        for grace in (0.0, 0.3):
+            if grace:
+                time.sleep(grace)
+            while True:
+                try:
+                    item = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                if item is _STOP or item is None:
+                    continue
+                self._send(item.conn, item.wlock,
+                           {"ok": False, "error": "server stopped"})
 
     def __enter__(self):
         return self.start()
